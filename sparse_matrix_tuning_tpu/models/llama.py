@@ -1,0 +1,307 @@
+"""Llama-family decoder in pure JAX (pytrees + functions, no framework).
+
+Covers the model families the reference fine-tunes (Llama-2/3, TinyLlama,
+DeepSeek-R1-Distill-Llama — reference deepspeed/helpers/model_names.py and
+deepspeed_helpers.py:590-624): RMSNorm, rotary embeddings (HF non-interleaved
+convention for weight parity), grouped-query attention, SiLU gate/up/down MLP,
+optional tied embeddings.
+
+The six SMT target linears ({q,k,v}_proj, {gate,up,down}_proj — reference
+fine_tune.py:217-220) route through a dispatch hook so that, after
+conversion, selected layers compute through the block-sparse custom_vjp
+linear (ops/sparse_linear.py) while everything else stays a dense MXU matmul.
+
+Layers are kept as separate pytree entries (params["layers"]["<i>"]) rather
+than a scanned stack: SMT selection gives every layer a *different* static
+number of trainable blocks, which an unrolled graph expresses with zero
+padding waste; per-layer jax.checkpoint still bounds activation memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ATTN_TARGETS = ("q_proj", "k_proj", "v_proj")
+MLP_TARGETS = ("gate_proj", "up_proj", "down_proj")
+TARGET_MODULES = ATTN_TARGETS + MLP_TARGETS
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 4
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    attention_dropout: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512) -> "LlamaConfig":
+        """A block-divisible toy config for tests (all linears >= 256x256)."""
+        return cls(vocab_size=vocab_size, hidden_size=256, intermediate_size=512,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, max_position_embeddings=512)
+
+    @classmethod
+    def from_hf(cls, hf_cfg: Mapping[str, Any]) -> "LlamaConfig":
+        return cls(
+            vocab_size=hf_cfg["vocab_size"],
+            hidden_size=hf_cfg["hidden_size"],
+            intermediate_size=hf_cfg["intermediate_size"],
+            num_hidden_layers=hf_cfg["num_hidden_layers"],
+            num_attention_heads=hf_cfg["num_attention_heads"],
+            num_key_value_heads=hf_cfg.get("num_key_value_heads",
+                                           hf_cfg["num_attention_heads"]),
+            max_position_embeddings=hf_cfg.get("max_position_embeddings", 2048),
+            rms_norm_eps=hf_cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=hf_cfg.get("rope_theta", 10000.0),
+            tie_word_embeddings=hf_cfg.get("tie_word_embeddings", False),
+        )
+
+    def to_hf(self) -> Dict[str, Any]:
+        return {
+            "architectures": ["LlamaForCausalLM"],
+            "model_type": "llama",
+            "vocab_size": self.vocab_size,
+            "hidden_size": self.hidden_size,
+            "intermediate_size": self.intermediate_size,
+            "num_hidden_layers": self.num_hidden_layers,
+            "num_attention_heads": self.num_attention_heads,
+            "num_key_value_heads": self.num_key_value_heads,
+            "max_position_embeddings": self.max_position_embeddings,
+            "rms_norm_eps": self.rms_norm_eps,
+            "rope_theta": self.rope_theta,
+            "tie_word_embeddings": self.tie_word_embeddings,
+            "hidden_act": "silu",
+            "torch_dtype": "bfloat16",
+        }
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Dict:
+    """Random init (tests / from-scratch). HF loading is in models/hf_io.py."""
+    d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    kv = cfg.num_key_value_heads * cfg.head_dim
+    keys = iter(jax.random.split(rng, 4 + 7 * cfg.num_hidden_layers))
+
+    def dense(key, out_dim, in_dim):
+        scale = 1.0 / np.sqrt(in_dim)
+        return (jax.random.normal(key, (out_dim, in_dim), jnp.float32) * scale).astype(dtype)
+
+    params: Dict[str, Any] = {
+        "embed_tokens": (jax.random.normal(next(keys), (v, d), jnp.float32) * 0.02).astype(dtype),
+        "norm": jnp.ones((d,), dtype),
+        "layers": {},
+    }
+    for i in range(cfg.num_hidden_layers):
+        params["layers"][str(i)] = {
+            "input_layernorm": jnp.ones((d,), dtype),
+            "post_attention_layernorm": jnp.ones((d,), dtype),
+            "q_proj": dense(next(keys), d, d),
+            "k_proj": dense(next(keys), kv, d),
+            "v_proj": dense(next(keys), kv, d),
+            "o_proj": dense(next(keys), d, d),
+            "gate_proj": dense(next(keys), f, d),
+            "up_proj": dense(next(keys), f, d),
+            "down_proj": dense(next(keys), d, f),
+        }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (jax.random.normal(next(keys), (v, d), jnp.float32) * 0.02).astype(dtype)
+    return params
+
+
+def target_module_dims(params: Mapping[str, Any]) -> Dict[str, tuple]:
+    """{module_name: (out_dim, in_dim)} for the six SMT targets
+    (reference fine_tune.py:221-229 harvests these from actual shapes)."""
+    layer0 = params["layers"]["0"]
+    return {m: tuple(layer0[m].shape) for m in TARGET_MODULES}
+
+
+def all_2d_param_shapes(params: Mapping[str, Any]) -> list:
+    """Shapes of every 2-D param (for the total-block denominator quirk,
+    reference fine_tune.py:231-241 — includes embeddings and lm_head)."""
+    return [p.shape for p in jax.tree.leaves(params) if getattr(p, "ndim", 0) == 2]
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def _rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    x = x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    return (x * weight.astype(jnp.float32)).astype(dt)
+
+
+def _rope_tables(positions: jax.Array, head_dim: int, theta: float):
+    """HF convention: inv_freq over even dims, cos/sin tiled twice."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq[None, :]  # (..., S, hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    # x: (B, S, H, hd); cos/sin: (B, S, hd)
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return x * cos + _rotate_half(x) * sin
+
+
+def default_linear(x: jax.Array, w: jax.Array, module: str, layer: int) -> jax.Array:
+    """Dense linear y = x @ W.T (weights stored HF-style as (out, in))."""
+    return jnp.einsum("...i,oi->...o", x, w)
+
+
+def _attention(q, k, v, mask_bias):
+    """q: (B,S,Hq,hd); k/v: (B,S,Hkv,hd); GQA via head grouping.
+    mask_bias: (B,1,S,S) additive fp32 bias (0 / -inf)."""
+    b, s, hq, hd = q.shape
+    hkv = k.shape[2]
+    groups = hq // hkv
+    q = q.reshape(b, s, hkv, groups, hd)
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", q, k).astype(jnp.float32)
+    scores = scores / np.sqrt(hd)
+    scores = scores + mask_bias[:, :, None, :, :]  # (B,1,1,S,S) broadcast over kv-heads/groups
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v)
+    return out.reshape(b, s, hq * hd)
+
+
+def _decoder_layer(lp: Mapping[str, jax.Array], x: jax.Array, mask_bias, cos, sin,
+                   cfg: LlamaConfig, linear, layer_idx: int) -> jax.Array:
+    b, s, d = x.shape
+    h = _rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = linear(h, lp["q_proj"], "q_proj", layer_idx)
+    k = linear(h, lp["k_proj"], "k_proj", layer_idx)
+    v = linear(h, lp["v_proj"], "v_proj", layer_idx)
+    hd = cfg.head_dim
+    q = q.reshape(b, s, cfg.num_attention_heads, hd)
+    k = k.reshape(b, s, cfg.num_key_value_heads, hd)
+    v = v.reshape(b, s, cfg.num_key_value_heads, hd)
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+    attn = _attention(q, k, v, mask_bias)
+    x = x + linear(attn, lp["o_proj"], "o_proj", layer_idx)
+
+    h = _rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = linear(h, lp["gate_proj"], "gate_proj", layer_idx)
+    up = linear(h, lp["up_proj"], "up_proj", layer_idx)
+    x = x + linear(jax.nn.silu(gate) * up, lp["down_proj"], "down_proj", layer_idx)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
+            attention_mask: Optional[jax.Array] = None,
+            positions: Optional[jax.Array] = None,
+            linear=default_linear,
+            remat: bool = True,
+            activation_taps: Optional[dict] = None) -> jax.Array:
+    """Run the decoder; returns logits (B, S, V) in fp32.
+
+    `linear(x, w, module_name, layer_idx)` is the linear dispatch hook — the
+    trainer closes a sparse implementation over the SMT plan + trainable
+    blocks. `activation_taps`, when given a dict, receives the fp32 |input|
+    sums per target linear (the channel-saliency statistic — replaces the
+    reference's Catcher/forward-hook machinery, fine_tune.py:586-708).
+    """
+    b, s = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    if positions is None:
+        positions = jnp.cumsum(attention_mask, axis=-1) - 1
+        positions = jnp.maximum(positions, 0)
+
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    keep = causal[None, :, :] & (attention_mask[:, None, :] > 0)
+    mask_bias = jnp.where(keep, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
+
+    cos, sin = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    if activation_taps is not None:
+        linear = _tapped(linear, activation_taps, attention_mask)
+
+    layer_fn = _decoder_layer
+    if remat and activation_taps is None:
+        layer_fn = jax.checkpoint(_decoder_layer,
+                                  static_argnums=(5, 6, 7),
+                                  policy=jax.checkpoint_policies.nothing_saveable)
+
+    for i in range(cfg.num_hidden_layers):
+        x = layer_fn(params["layers"][str(i)], x, mask_bias, cos, sin, cfg, linear, i)
+
+    x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jnp.einsum("bsd,vd->bsv", x, head).astype(jnp.float32)
+    return logits
+
+
+def _tapped(linear, taps: dict, attention_mask: jax.Array):
+    """Wrap the linear dispatch to record sum_batch |input| (masked) per
+    target linear — the channel-saliency statistic. Output shape per tap:
+    (S, in_dim), matching the reference's accumulated activation after its
+    sum over dim 0 (smt_helper.py:169)."""
+    def tapped(x, w, module, layer_idx):
+        if module in TARGET_MODULES:
+            m = attention_mask[..., None].astype(jnp.float32)
+            taps[f"{layer_idx}.{module}"] = jnp.sum(jnp.abs(x.astype(jnp.float32)) * m, axis=0)
+        return linear(x, w, module, layer_idx)
+    return tapped
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+IGNORE_INDEX = -100  # reference helper.py:23
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """HF-style shifted cross-entropy, mean over non-ignored tokens, fp32."""
+    logits = logits[:, :-1, :].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = targets != IGNORE_INDEX
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_loss = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    tok_loss = jnp.where(valid, tok_loss, 0.0)
+    denom = jnp.maximum(valid.sum(), 1)
+    return tok_loss.sum() / denom
+
+
+def loss_fn(params, batch, cfg: LlamaConfig, linear=default_linear, remat=True):
+    logits = forward(params, batch["input_ids"], cfg,
+                     attention_mask=batch.get("attention_mask"),
+                     linear=linear, remat=remat)
+    return causal_lm_loss(logits, batch["labels"])
