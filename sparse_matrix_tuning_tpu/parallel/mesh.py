@@ -1,0 +1,152 @@
+"""Device mesh + sharding rules — the TPU-native replacement for DeepSpeed
+ZeRO (reference --zero_stage / deepspeed.initialize, fine_tune.py:184-190,
+deepspeed_helpers.py:37-146).
+
+Axes:
+  data   — pure data parallelism (reference's only training parallelism,
+           DistributedSampler fine_tune.py:133-134)
+  fsdp   — parameter/grad/optimizer-state sharding over ICI (ZeRO-3
+           equivalent; batch is also split over this axis, as in FSDP)
+  tensor — megatron-style tensor parallelism over hidden dims (the
+           reference only has vestigial TP config fields,
+           deepspeed_helpers.py:90-97; here it is a real axis)
+
+All collectives (grad psum, FSDP all-gathers, TP reduce) are inserted and
+overlapped by XLA GSPMD from these annotations — no NCCL-style explicit
+calls (replaces deepspeed.comm / torch.distributed usage inventoried in
+SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    """mesh_shape = (data, fsdp, tensor); default puts every device on fsdp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = (1, n, 1)
+    if int(np.prod(mesh_shape)) != n:
+        raise ValueError(f"mesh_shape {mesh_shape} != #devices {n}")
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, AXES)
+
+
+# ---------------------------------------------------------------------------
+# PartitionSpecs
+# ---------------------------------------------------------------------------
+
+# Megatron layout: column-parallel projections shard their output dim over
+# `tensor`, row-parallel shard their input dim; `fsdp` takes the other dim.
+_COL_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW_PARALLEL = ("o_proj", "down_proj")
+
+
+def _weight_pspec(module: str) -> P:
+    if module in _COL_PARALLEL:
+        return P("tensor", "fsdp")
+    if module in _ROW_PARALLEL:
+        return P("fsdp", "tensor")
+    raise KeyError(module)
+
+
+def param_pspecs(params: Mapping[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree matching models.llama param structure."""
+    specs: Dict[str, Any] = {
+        "embed_tokens": P("fsdp", "tensor"),
+        "norm": P(),
+        "layers": {},
+    }
+    for li, layer in params["layers"].items():
+        ls = {}
+        for name in layer:
+            if name.endswith("layernorm"):
+                ls[name] = P()
+            else:
+                ls[name] = _weight_pspec(name)
+        specs["layers"][li] = ls
+    if "lm_head" in params:
+        specs["lm_head"] = P("tensor", "fsdp")
+    return specs
+
+
+def batch_pspec() -> P:
+    """Batch is split over data AND fsdp (fsdp acts as a data axis for
+    activations, standard FSDP)."""
+    return P(("data", "fsdp"), None)
+
+
+def trainable_pspec(mode: str) -> P:
+    """Gathered trainables: matrix (n, 256, 256) shards n over fsdp;
+    channel (out, n_ch) shards out over fsdp."""
+    if mode == "matrix":
+        return P("fsdp", None, None)
+    return P("fsdp", None)
+
+
+def acc_pspecs_like(acc: Mapping[str, Any], params_specs: Mapping[str, Any]) -> Dict[str, Any]:
+    """Saliency accumulators share their weight's sharding (key '{layer}.{module}')."""
+    out = {}
+    for ks in acc:
+        layer, module = ks.split(".", 1)
+        out[ks] = params_specs["layers"][layer][module]
+    return out
+
+
+def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
+    """NamedSharding pytree for a train-state dict (see train/trainer.py).
+
+    Rules: model/master params & their adam state follow param_pspecs;
+    trainable blocks & their adam state shard over fsdp; scalars replicate;
+    activation accumulators (S, C) shard C over tensor.
+    """
+    def named(spec):
+        return NamedSharding(mesh, spec)
+
+    _PARAM_TOPS = ("embed_tokens", "norm", "layers", "lm_head")
+
+    def spec_for(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        top = keys[0]
+        if top in ("params", "master"):
+            return _param_leaf_spec(keys[1:])
+        if top in ("m", "v"):
+            # warm-up phase: adam state mirrors the param tree;
+            # sparse phase: it mirrors the flat trainable dict.
+            if len(keys) > 1 and keys[1] in _PARAM_TOPS:
+                return _param_leaf_spec(keys[1:])
+            return trainable_pspec(plan_mode) if plan_mode else P()
+        if top == "acc":
+            _, module = keys[1].split(".", 1)
+            return _weight_pspec(module)
+        if top == "act_acc":
+            return P(None, "tensor")
+        if top == "trainable":
+            return trainable_pspec(plan_mode) if plan_mode else P()
+        return P()
+
+    def _param_leaf_spec(sub):
+        if not sub:
+            return P()
+        if sub[0] == "embed_tokens":
+            return P("fsdp", "tensor")
+        if sub[0] == "lm_head":
+            return P("tensor", "fsdp")
+        if sub[0] == "norm":
+            return P()
+        if sub[0] == "layers":
+            name = sub[2]
+            return P() if name.endswith("layernorm") else _weight_pspec(name)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: named(spec_for(path, leaf)), state)

@@ -1,0 +1,240 @@
+"""Jittable training/eval step functions for both SMT phases.
+
+Phase 1 (warm-up, reference fine_tune.py:710-773): full fine-tuning with
+fp32 master weights; every step also accumulates the fp32 gradient sum of
+the six target linears into the train state — the TPU-native replacement
+for the reference's safe_get_full_grad -> CPU fp32 dict harvest
+(fine_tune.py:716-768). The accumulators are ordinary sharded pytree
+leaves, so no departitioning or host transfer happens.
+
+Channel warm-up (reference fine_tune.py:586-708): forward-only pass that
+accumulates sum_batch |input| per target linear via the model's activation
+taps (replacing the Catcher + forward-hook machinery); these steps do NOT
+train, matching the reference's `continue`.
+
+Phase 2 (sparse): gradients exist only for the gathered blocks/channels via
+the custom_vjp linears; Adam state is proportional to the selected
+fraction; the updated blocks are scattered once per step into the donated
+dense weights (the reference instead re-scatters on every forward,
+smt.py:331-341).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparse_matrix_tuning_tpu.config import SMTConfig
+from sparse_matrix_tuning_tpu.models.llama import (
+    ATTN_TARGETS, MLP_TARGETS, TARGET_MODULES, LlamaConfig, causal_lm_loss,
+    forward,
+)
+from sparse_matrix_tuning_tpu.ops.sparse_linear import make_sparse_linear_dispatch
+from sparse_matrix_tuning_tpu.smt.optimizer import (
+    AdamConfig, adam_step, clip_by_global_norm, full_ft_wd_mask,
+    make_qk_lr_scale,
+)
+from sparse_matrix_tuning_tpu.smt.plan import SMTPlan
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(lambda p: p.astype(dtype), tree)
+
+
+# ---------------------------------------------------------------------------
+# Warm-up (full fine-tuning) step
+# ---------------------------------------------------------------------------
+
+def init_warmup_state(master, cfg: SMTConfig) -> Dict:
+    state = {
+        "master": _cast_tree(master, jnp.float32),
+        "m": jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), master),
+        "v": jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), master),
+        "count": jnp.zeros((), jnp.int32),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    if cfg.matrix_sparsity:
+        acc = {}
+        for li, layer in master["layers"].items():
+            for mod in TARGET_MODULES:
+                shape = layer[mod].shape
+                if not _wants_saliency(cfg, mod):
+                    continue
+                if shape[0] % 256 or shape[1] % 256:
+                    # the reference would crash reshaping such a tensor
+                    # (smt_helper.py:67); we exclude it from selection instead
+                    continue
+                acc[f"{li}.{mod}"] = jnp.zeros(shape, jnp.float32)
+        state["acc"] = acc
+    if cfg.channel_sparsity:
+        act = {}
+        for li, layer in master["layers"].items():
+            for mod in TARGET_MODULES:
+                if _wants_channel(cfg, mod):
+                    in_dim = layer[mod].shape[1]
+                    act[f"{li}.{mod}"] = jnp.zeros((cfg.max_seq_len, in_dim), jnp.float32)
+        state["act_acc"] = act
+    return state
+
+
+def _wants_saliency(cfg: SMTConfig, module: str) -> bool:
+    if module in ATTN_TARGETS:
+        return cfg.downsample_attention_blocks_ratio > 0 or cfg.no_limit_mixture
+    return cfg.downsample_mlp_blocks_ratio > 0 or cfg.no_limit_mixture
+
+
+def _wants_channel(cfg: SMTConfig, module: str) -> bool:
+    if module in ATTN_TARGETS:
+        return cfg.num_attention_channel > 0 or cfg.no_limit_mixture
+    return cfg.num_mlp_channel > 0 or cfg.no_limit_mixture
+
+
+def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
+                      lr_sched: Callable) -> Callable:
+    adam_cfg = AdamConfig(betas=tuple(cfg.warmup_adam_betas), eps=cfg.adam_eps,
+                          weight_decay=cfg.w_decay, grad_clip=cfg.grad_clip)
+    param_dtype = cfg.param_dtype
+
+    def step(state: Dict, batch: Dict) -> tuple:
+        def loss_of(master):
+            params = _cast_tree(master, param_dtype)
+            logits = forward(params, batch["input_ids"], model_cfg,
+                             attention_mask=batch.get("attention_mask"),
+                             remat=cfg.gradient_checkpointing)
+            return causal_lm_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_of)(state["master"])
+
+        new_state = dict(state)
+        if "acc" in state:
+            # saliency accumulates the UNCLIPPED averaged grad, as the
+            # reference harvests before optimizer clipping (fine_tune.py:716)
+            new_state["acc"] = {
+                ks: state["acc"][ks] + _target_grad(grads, ks)
+                for ks in state["acc"]
+            }
+
+        grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
+        lr = lr_sched(state["step"])
+        opt_state = {"m": state["m"], "v": state["v"], "count": state["count"]}
+        new_master, opt_state = adam_step(grads, opt_state, state["master"], lr,
+                                          adam_cfg, wd_mask=full_ft_wd_mask)
+        new_state.update(master=new_master, m=opt_state["m"], v=opt_state["v"],
+                         count=opt_state["count"], step=state["step"] + 1)
+        metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr}
+        return new_state, metrics
+
+    return step
+
+
+def _target_grad(grads, ks: str):
+    layer, module = ks.split(".", 1)
+    return grads["layers"][layer][module].astype(jnp.float32)
+
+
+def build_channel_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callable:
+    """Forward-only activation-stat pass; does not train (reference
+    fine_tune.py:708 `continue`). Pad positions are excluded via the
+    attention mask — a deliberate fix over the reference hooks, which also
+    accumulate activations at padding positions."""
+    param_dtype = cfg.param_dtype
+
+    def step(state: Dict, batch: Dict) -> tuple:
+        params = _cast_tree(state["master"], param_dtype)
+        taps: Dict[str, jax.Array] = {}
+        logits = forward(params, batch["input_ids"], model_cfg,
+                         attention_mask=batch.get("attention_mask"),
+                         remat=False, activation_taps=taps)
+        loss = causal_lm_loss(logits, batch["labels"])
+
+        new_act = {}
+        for ks, acc in state["act_acc"].items():
+            tap = taps[ks]  # (S_batch, in_dim)
+            pad = acc.shape[0] - tap.shape[0]
+            if pad > 0:
+                tap = jnp.pad(tap, ((0, pad), (0, 0)))
+            new_act[ks] = acc + tap
+        new_state = dict(state)
+        new_state.update(act_acc=new_act, step=state["step"] + 1)
+        return new_state, {"loss": loss}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Sparse (post-conversion) step
+# ---------------------------------------------------------------------------
+
+def init_sparse_state(params, trainable, step: int) -> Dict:
+    return {
+        "params": params,
+        "trainable": trainable,
+        "m": jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), trainable),
+        "v": jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), trainable),
+        "count": jnp.zeros((), jnp.int32),
+        "step": jnp.asarray(step, jnp.int32),
+    }
+
+
+def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
+                      lr_sched: Callable) -> Callable:
+    betas = cfg.matrix_adam_betas if plan.mode == "matrix" else cfg.channel_adam_betas
+    adam_cfg = AdamConfig(betas=tuple(betas), eps=cfg.adam_eps,
+                          weight_decay=cfg.w_decay, grad_clip=cfg.grad_clip)
+    lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
+
+    def step(state: Dict, batch: Dict) -> tuple:
+        params = state["params"]
+
+        def loss_of(trainable):
+            linear = make_sparse_linear_dispatch(plan, trainable, cfg.sparse_impl)
+            logits = forward(params, batch["input_ids"], model_cfg,
+                             attention_mask=batch.get("attention_mask"),
+                             linear=linear, remat=cfg.gradient_checkpointing)
+            return causal_lm_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_of)(state["trainable"])
+        grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
+        lr = lr_sched(state["count"])
+        opt_state = {"m": state["m"], "v": state["v"], "count": state["count"]}
+        new_trainable, opt_state = adam_step(grads, opt_state, state["trainable"],
+                                             lr, adam_cfg, lr_scale=lr_scale)
+        # scatter-at-update: dense weights absorb the new block values once
+        # per step (donated buffers make this in-place)
+        new_layers = plan.scatter(params["layers"], new_trainable)
+        new_params = dict(params)
+        new_params["layers"] = new_layers
+
+        new_state = {
+            "params": new_params, "trainable": new_trainable,
+            "m": opt_state["m"], "v": opt_state["v"], "count": opt_state["count"],
+            "step": state["step"] + 1,
+        }
+        return new_state, {"loss": loss, "grad_norm": gnorm, "lr": lr}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Eval loss
+# ---------------------------------------------------------------------------
+
+def build_eval_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callable:
+    """Forward-only loss (reference helpers/helper.py:210-245). Works for
+    both phases: in the sparse phase the dense weights already contain the
+    current block values."""
+    param_dtype = cfg.param_dtype
+
+    def step(params, batch) -> jax.Array:
+        if "master" in params:
+            params = _cast_tree(params["master"], param_dtype)
+        elif "params" in params:
+            params = params["params"]
+        logits = forward(params, batch["input_ids"], model_cfg,
+                         attention_mask=batch.get("attention_mask"),
+                         remat=cfg.gradient_checkpointing)
+        return causal_lm_loss(logits, batch["labels"])
+
+    return step

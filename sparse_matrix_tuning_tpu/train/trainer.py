@@ -1,0 +1,245 @@
+"""Two-phase SMT trainer — the orchestration layer.
+
+Replaces reference deepspeed/fine_tune.py:72-864 (`trainer`): epoch loop,
+warm-up, the one-shot conversion event, eval/save cadences, throughput
+prints. The DeepSpeed engine rebuild at conversion (fine_tune.py:379-384)
+becomes a clean phase switch: a new train-state pytree and a second jitted
+step function.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_matrix_tuning_tpu.config import SMTConfig
+from sparse_matrix_tuning_tpu.models.llama import LlamaConfig, all_2d_param_shapes
+from sparse_matrix_tuning_tpu.smt.optimizer import make_lr_schedule
+from sparse_matrix_tuning_tpu.smt.plan import SMTPlan
+from sparse_matrix_tuning_tpu.train import convert as convert_mod
+from sparse_matrix_tuning_tpu.train.steps import (
+    build_channel_warmup_step, build_eval_step, build_sparse_step,
+    build_warmup_step, init_warmup_state,
+)
+from sparse_matrix_tuning_tpu.utils.logging import print_rank_0
+from sparse_matrix_tuning_tpu.utils.throughput import ThroughputReporter
+
+
+class SMTTrainer:
+    """Drives warm-up -> selection/conversion -> sparse fine-tuning.
+
+    params: initial model params (any float dtype; promoted to fp32 master).
+    total_steps: optimizer-step horizon for the LR schedule
+    (num_ft_epochs * steps_per_epoch, reference fine_tune.py:175-183).
+    """
+
+    def __init__(self, cfg: SMTConfig, model_cfg: LlamaConfig, params,
+                 total_steps: int, mesh=None):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.total_steps = int(total_steps)
+        self.mesh = mesh
+        self.plan: Optional[SMTPlan] = None
+        self.phase = "warmup"
+        self._all_2d_shapes = all_2d_param_shapes(params)
+
+        self.state = init_warmup_state(params, cfg)
+        self._place_state(plan_mode=None)
+
+        warmup_sched = make_lr_schedule(cfg.lr_scheduler_type, cfg.ft_learning_rate,
+                                        cfg.lr_warmup_steps, self.total_steps)
+        self._warmup_step = self._jit(build_warmup_step(cfg, model_cfg, warmup_sched))
+        self._channel_step = (self._jit(build_channel_warmup_step(cfg, model_cfg))
+                              if cfg.channel_sparsity else None)
+        self._sparse_step = None  # built at conversion
+        self._eval_step = jax.jit(build_eval_step(cfg, model_cfg))
+
+        self.history: Dict[str, list] = {"train_loss": [], "eval_loss": [], "ppl": []}
+        self.best_eval_loss = float("inf")
+        self.reporter: Optional[ThroughputReporter] = None
+
+    # -- jit / sharding helpers ------------------------------------------------
+
+    def _jit(self, fn):
+        if self.mesh is None:
+            return jax.jit(fn, donate_argnums=(0,))
+        from sparse_matrix_tuning_tpu.parallel.mesh import batch_pspec
+        from jax.sharding import NamedSharding
+        batch_sh = NamedSharding(self.mesh, batch_pspec())
+
+        def wrapped(state, batch):
+            batch = jax.device_put(batch, {k: batch_sh for k in batch})
+            return fn(state, batch)
+
+        return jax.jit(wrapped, donate_argnums=(0,))
+
+    def _place_state(self, plan_mode):
+        if self.mesh is None:
+            return
+        from sparse_matrix_tuning_tpu.parallel.mesh import state_shardings
+        sh = state_shardings(self.state, self.mesh, plan_mode)
+        self.state = jax.device_put(self.state, sh)
+
+    # -- conversion ---------------------------------------------------------------
+
+    @property
+    def step(self) -> int:
+        return int(self.state["step"])
+
+    @property
+    def is_smt(self) -> bool:
+        return self.cfg.matrix_sparsity or self.cfg.channel_sparsity
+
+    def maybe_convert(self):
+        if self.phase != "warmup" or not self.is_smt:
+            return
+        if self.step < self.cfg.full_ft_steps:
+            return
+        t0 = time.time()
+        self.plan, self.state = convert_mod.convert(self.cfg, self.state,
+                                                    self._all_2d_shapes)
+        self.phase = "sparse"
+        self._place_state(plan_mode=self.plan.mode)
+
+        sparse_sched = make_lr_schedule(
+            self.cfg.lr_scheduler_type, self.cfg.smt_lr,
+            self.cfg.smt_lr_warmup_steps,
+            max(self.total_steps - self.step, 1))
+        self._sparse_step = self._jit(
+            build_sparse_step(self.cfg, self.model_cfg, self.plan, sparse_sched))
+
+        total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state["params"]))
+        sel = self.plan.trainable_params
+        print_rank_0(
+            f"[smt] converted at step {self.step} in {time.time() - t0:.1f}s: "
+            f"{len(self.plan.linears)} linears, {sel:,} trainable "
+            f"({100.0 * sel / total:.3f}% of {total:,})")
+
+    # -- steps ------------------------------------------------------------------------
+
+    def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """One global-batch step, dispatching on phase (reference loop body
+        fine_tune.py:248-844)."""
+        self.maybe_convert()
+        if self.phase == "sparse":
+            self.state, metrics = self._sparse_step(self.state, batch)
+        elif self.cfg.channel_sparsity and self.step < self.cfg.full_ft_steps:
+            # channel warm-up: collect activations, do NOT train
+            self.state, metrics = self._channel_step(self.state, batch)
+        else:
+            self.state, metrics = self._warmup_step(self.state, batch)
+        return metrics
+
+    def evaluate(self, eval_batches: Iterable[Dict[str, np.ndarray]]):
+        """Mean eval loss + perplexity (reference helper.py:210-245)."""
+        losses = []
+        for batch in eval_batches:
+            losses.append(self._eval_step(self.state, batch))
+        if not losses:
+            return float("inf"), float("inf")
+        loss = float(jnp.mean(jnp.stack(losses)))
+        return float(np.exp(min(loss, 80.0))), loss
+
+    # -- full training loop ------------------------------------------------------------
+
+    def fit(self, train_ds, eval_ds, pad_token_id: int,
+            tokenizer=None, on_metrics=None) -> Dict[str, list]:
+        from sparse_matrix_tuning_tpu.data.sft import batch_iterator, num_batches
+
+        cfg = self.cfg
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        global_bs = cfg.per_device_ft_batch_size * n_dev
+        eval_bs = cfg.per_device_eval_batch_size * n_dev
+        steps_per_epoch = num_batches(len(train_ds), global_bs)
+
+        self.reporter = ThroughputReporter(
+            batch_size=global_bs, seq_length=cfg.max_seq_len,
+            num_layers=self.model_cfg.num_hidden_layers,
+            hidden_size=self.model_cfg.hidden_size,
+            vocab_size=self.model_cfg.vocab_size,
+            num_devices=n_dev, every=cfg.throughput_steps)
+
+        def eval_batches():
+            return batch_iterator(eval_ds, eval_bs, pad_token_id,
+                                  cfg.seq_buckets, cfg.seed, 0,
+                                  shuffle=False, drop_last=False)
+
+        stop = False
+        for epoch in range(cfg.num_ft_epochs):
+            print_rank_0(f"Beginning of Epoch {epoch + 1}/{cfg.num_ft_epochs}, "
+                         f"Total Micro Batches {steps_per_epoch}")
+            mean_loss, n_steps = 0.0, 0
+            for batch in batch_iterator(train_ds, global_bs, pad_token_id,
+                                        cfg.seq_buckets, cfg.seed, epoch):
+                metrics = self.train_step(batch)
+                loss = float(metrics["loss"])
+                mean_loss += loss
+                n_steps += 1
+                self.history["train_loss"].append(loss)
+                step = self.step
+
+                rep = self.reporter.maybe_report(step)
+                if rep:
+                    print_rank_0({"throughput": rep})
+                if step % cfg.log_steps == 0:
+                    print_rank_0(f"step {step} loss {loss:.4f} lr "
+                                 f"{float(metrics.get('lr', 0)):.3e} phase {self.phase}")
+                if on_metrics:
+                    on_metrics(step, metrics)
+
+                if cfg.eval_step > 0 and step % cfg.eval_step == 0:
+                    ppl, eval_loss = self.evaluate(eval_batches())
+                    self.history["eval_loss"].append(eval_loss)
+                    self.history["ppl"].append(ppl)
+                    print_rank_0(f"Validation perplexity: {ppl}, "
+                                 f"Validation loss: {eval_loss}")
+                    if eval_loss < self.best_eval_loss:
+                        self.best_eval_loss = eval_loss
+                        self._save("best", tokenizer)
+
+                if cfg.save_steps > 0 and step % cfg.save_steps == 0:
+                    self._save(f"step_{step}", tokenizer)
+
+                if cfg.early_terminate and step > 0 and step % 3000 == 0:
+                    stop = True
+                    break
+            if n_steps:
+                print_rank_0(f"epoch {epoch + 1}/{cfg.num_ft_epochs} with "
+                             f"training loss: {mean_loss / n_steps}")
+            self._save(f"epoch_{epoch + 1}", tokenizer)
+            if stop:
+                break
+
+        ppl, eval_loss = self.evaluate(eval_batches())
+        self.history["eval_loss"].append(eval_loss)
+        self.history["ppl"].append(ppl)
+        self._save("final", tokenizer)
+        return self.history
+
+    # -- export -----------------------------------------------------------------------
+
+    def merged_params(self):
+        """Dense params with current trainables merged (reference
+        convert_matrix_sparsity_to_linear_layer, smt.py:416-457). In the
+        sparse phase the dense weights are already current; in warm-up the
+        master is the truth."""
+        if self.phase == "sparse":
+            return self.state["params"]
+        return jax.tree.map(lambda p: p.astype(self.cfg.param_dtype),
+                            self.state["master"])
+
+    def _save(self, tag: str, tokenizer=None):
+        if not self.cfg.output_dir or jax.process_index() != 0:
+            return
+        from sparse_matrix_tuning_tpu.models.hf_io import save_hf_format
+        out = os.path.join(self.cfg.output_dir, tag)
+        save_hf_format(self.merged_params(), self.model_cfg, out, tokenizer)
+        if self.plan is not None:
+            with open(os.path.join(out, "smt_plan.json"), "w") as f:
+                f.write(self.plan.to_json())
+        print_rank_0(f"[save] {out}")
