@@ -86,10 +86,11 @@ def batch_pspec() -> P:
 
 
 def trainable_pspec(mode: str) -> P:
-    """Gathered trainables: matrix (n, 256, 256) shards n over fsdp;
-    channel (out, n_ch) shards out over fsdp."""
+    """Gathered trainables: matrix (n, 256, 256) shards the intra-block row
+    dim over fsdp (256 divides any power-of-two axis; n is small and
+    arbitrary); channel (out, n_ch) shards out over fsdp."""
     if mode == "matrix":
-        return P("fsdp", None, None)
+        return P(None, "fsdp", None)
     return P("fsdp", None)
 
 
@@ -109,8 +110,23 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
     trainable blocks & their adam state shard over fsdp; scalars replicate;
     activation accumulators (S, C) shard C over tensor.
     """
-    def named(spec):
-        return NamedSharding(mesh, spec)
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def _fit(spec: P, shape) -> P:
+        """Drop sharding on axes that do not divide the dimension evenly
+        (device_put, unlike GSPMD propagation, refuses uneven shards)."""
+        out = []
+        for d, names in enumerate(spec):
+            if names is None:
+                out.append(None)
+                continue
+            group = names if isinstance(names, tuple) else (names,)
+            size = int(np.prod([axis_sizes[n] for n in group]))
+            out.append(names if (d < len(shape) and shape[d] % size == 0) else None)
+        return P(*out)
+
+    def named(spec, leaf):
+        return NamedSharding(mesh, _fit(spec, getattr(leaf, "shape", ())))
 
     _PARAM_TOPS = ("embed_tokens", "norm", "layers", "lm_head")
 
@@ -149,4 +165,4 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
         return P()
 
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: named(spec_for(path, leaf)), state)
+        lambda path, leaf: named(spec_for(path, leaf), leaf), state)

@@ -1,0 +1,87 @@
+"""Fake-cluster tests: full two-phase SMT training over an 8-device CPU mesh
+(data x fsdp x tensor) — the distributed testing the reference never had
+(SURVEY.md §4). Checks sharded-vs-single-device numerical agreement and
+that state is actually distributed.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_matrix_tuning_tpu.config import SMTConfig
+from sparse_matrix_tuning_tpu.models.llama import LlamaConfig, init_params
+from sparse_matrix_tuning_tpu.parallel.mesh import make_mesh, param_pspecs
+from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+from test_train_e2e import make_batches, smt_cfg, CFG
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8, 1), (2, 4, 1), (1, 4, 2), (2, 2, 2)])
+def test_two_phase_training_on_mesh(mesh_shape):
+    mesh = make_mesh(mesh_shape)
+    cfg = smt_cfg()
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    trainer = SMTTrainer(cfg, CFG, params, total_steps=6, mesh=mesh)
+    losses = []
+    for batch in make_batches(6, bsz=8):
+        m = trainer.train_step(batch)
+        losses.append(float(m["loss"]))
+    assert trainer.phase == "sparse"
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_mesh_matches_single_device_numerics():
+    """FSDP/TP sharding must be a pure layout change: same losses, same
+    selection as the single-device run (fp32, CPU -> near-bitwise)."""
+    cfg = smt_cfg()
+    batches = make_batches(5, bsz=8)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    t_single = SMTTrainer(cfg, CFG, params, total_steps=5)
+    single_losses = [float(t_single.train_step(b)["loss"]) for b in batches]
+
+    mesh = make_mesh((2, 2, 2))
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    t_mesh = SMTTrainer(cfg, CFG, params, total_steps=5, mesh=mesh)
+    mesh_losses = [float(t_mesh.train_step(b)["loss"]) for b in batches]
+
+    assert t_single.plan.fingerprint() == t_mesh.plan.fingerprint()
+    np.testing.assert_allclose(single_losses, mesh_losses, rtol=2e-4, atol=2e-5)
+
+
+def test_state_is_actually_sharded():
+    mesh = make_mesh((1, 8, 1))
+    cfg = smt_cfg()
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    trainer = SMTTrainer(cfg, CFG, params, total_steps=4, mesh=mesh)
+    for batch in make_batches(1, bsz=8):
+        trainer.train_step(batch)
+    # gate_proj is column-parallel: P("tensor","fsdp") -> fsdp splits in_dim
+    w = trainer.state["master"]["layers"]["0"]["gate_proj"]  # (512, 256)
+    shard_shapes = {s.data.shape for s in w.addressable_shards}
+    assert shard_shapes == {(512, 32)}
+    m = trainer.state["m"]["layers"]["0"]["gate_proj"]
+    assert {s.data.shape for s in m.addressable_shards} == {(512, 32)}
+
+
+def test_param_pspecs_cover_all_leaves():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    specs = param_pspecs(params)
+    assert jax.tree.structure(jax.tree.map(lambda x: 0, params)) == \
+        jax.tree.structure(jax.tree.map(lambda x: 0, specs))
+
+
+def test_channel_path_on_mesh():
+    mesh = make_mesh((1, 8, 1))
+    cfg = smt_cfg(matrix_sparsity=False, channel_sparsity=True,
+                  num_attention_channel=8, num_mlp_channel=8)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    trainer = SMTTrainer(cfg, CFG, params, total_steps=6, mesh=mesh)
+    losses = [float(trainer.train_step(b)["loss"]) for b in make_batches(6, bsz=8)]
+    assert trainer.phase == "sparse"
+    assert np.isfinite(losses).all()
