@@ -1,0 +1,207 @@
+"""Batched autoregressive generation in pure JAX: greedy and beam search
+with KV cache, repetition penalty, and EOS handling.
+
+Replaces the reference's HF `model.generate` usage
+(evaluation/run_commonsense_parallel.py:154-160 with
+GenerationConfig(num_beams=4, do_sample=False, repetition_penalty=1.1)
+:257-265). Prompts are LEFT-padded as in the reference (:233).
+
+Beam-search parity notes (documented deltas from HF):
+  * finished beams stay in their slots emitting pad with frozen cumulative
+    score, instead of HF's separate finished-hypothesis heap;
+  * final selection normalises by (prompt_len + generated_len) **
+    length_penalty, HF's decoder-only convention.
+Both give identical results when beams finish at similar lengths; the
+answer-extraction regexes downstream are robust to the residual cases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_matrix_tuning_tpu.models.llama import (
+    LlamaConfig, forward_with_cache, init_cache,
+)
+
+NEG_INF = -1.0e9
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 256
+    num_beams: int = 1
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+    cache_dtype: str = "bfloat16"
+
+
+def _apply_repetition_penalty(logits, seen, penalty: float):
+    """HF semantics: scores>0 divided by penalty, scores<0 multiplied, for
+    every token already present in the sequence."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def _scatter_seen(seen, tokens):
+    """Mark token ids as seen. tokens: (B,) or (B, S)."""
+    if tokens.ndim == 1:
+        tokens = tokens[:, None]
+    b = seen.shape[0]
+    rows = jnp.repeat(jnp.arange(b)[:, None], tokens.shape[1], axis=1)
+    return seen.at[rows.reshape(-1), tokens.reshape(-1)].set(True)
+
+
+def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
+    p_len = input_ids.shape[1]
+    max_len = p_len + gen.max_new_tokens
+    cache = init_cache(model_cfg, batch, max_len, dtype=jnp.dtype(gen.cache_dtype))
+    slot_mask = jnp.zeros((batch, max_len), jnp.int32)
+    slot_mask = jax.lax.dynamic_update_slice(slot_mask, attention_mask.astype(jnp.int32), (0, 0))
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+    logits, cache = forward_with_cache(params, input_ids, model_cfg, cache,
+                                       0, slot_mask, positions)
+    last_logits = logits[:, -1, :]  # left padding -> last slot is real
+    real_len = attention_mask.sum(axis=-1).astype(jnp.int32)  # (B,)
+    seen = jnp.zeros((batch, model_cfg.vocab_size), bool)
+    seen = _scatter_seen(seen, input_ids)
+    return cache, slot_mask, positions, last_logits, real_len, seen, p_len, max_len
+
+
+# ---------------------------------------------------------------------------
+# Greedy
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1, 4))
+def _greedy(params, model_cfg: LlamaConfig, input_ids, attention_mask,
+            gen: GenerationConfig):
+    b, p_len = input_ids.shape
+    (cache, slot_mask, _, last_logits, real_len, seen,
+     p_len, max_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
+
+    def body(carry, t):
+        cache, slot_mask, last_logits, seen, finished = carry
+        logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        token = jnp.where(finished, gen.pad_token_id, token)
+        now_finished = finished | (token == gen.eos_token_id)
+
+        seen = _scatter_seen(seen, token)
+        slot = p_len + t
+        slot_mask = slot_mask.at[:, slot].set((~finished).astype(jnp.int32))
+        positions = (real_len + t)[:, None]
+        new_logits, cache = forward_with_cache(
+            params, token[:, None], model_cfg, cache, slot, slot_mask, positions)
+        return (cache, slot_mask, new_logits[:, -1, :], seen, now_finished), token
+
+    init = (cache, slot_mask, last_logits, seen, jnp.zeros((b,), bool))
+    _, tokens = jax.lax.scan(body, init, jnp.arange(gen.max_new_tokens))
+    return tokens.T  # (B, max_new_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1, 4))
+def _beam(params, model_cfg: LlamaConfig, input_ids, attention_mask,
+          gen: GenerationConfig):
+    b, p_len = input_ids.shape
+    k = gen.num_beams
+    bk = b * k
+
+    def tile(x):  # (B, ...) -> (B*K, ...)
+        return jnp.repeat(x, k, axis=0)
+
+    (cache, slot_mask, _, last_logits, real_len, seen,
+     p_len, max_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
+    cache = jax.tree.map(tile, cache)
+    slot_mask = tile(slot_mask)
+    last_logits = tile(last_logits)
+    real_len = tile(real_len)
+    seen = tile(seen)
+
+    beam_scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b,))
+    emitted = jnp.full((bk, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
+    gen_len = jnp.zeros((bk,), jnp.int32)  # tokens generated before finishing
+
+    def reorder(x, beam_idx_flat):
+        return jnp.take(x, beam_idx_flat, axis=0)
+
+    def body(carry, t):
+        cache, slot_mask, last_logits, seen, finished, beam_scores, emitted, gen_len = carry
+
+        logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
+        v = logprobs.shape[-1]
+        # finished beams: only pad continues, with zero added score
+        pad_only = jnp.full((v,), NEG_INF).at[gen.pad_token_id].set(0.0)
+        logprobs = jnp.where(finished[:, None], pad_only[None, :], logprobs)
+
+        total = beam_scores[:, None] + logprobs            # (BK, V)
+        total = total.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(total, k)       # (B, K)
+        beam_idx = top_idx // v                             # source beam per slot
+        token = (top_idx % v).astype(jnp.int32)             # (B, K)
+
+        flat_beam = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)  # (BK,)
+        token_flat = token.reshape(-1)
+
+        cache = jax.tree.map(lambda x: reorder(x, flat_beam), cache)
+        slot_mask = reorder(slot_mask, flat_beam)
+        seen = reorder(seen, flat_beam)
+        finished = reorder(finished.reshape(-1), flat_beam)
+        emitted = reorder(emitted, flat_beam)
+        gen_len = reorder(gen_len, flat_beam)
+
+        emitted = emitted.at[:, t].set(jnp.where(finished, gen.pad_token_id, token_flat))
+        gen_len = jnp.where(finished, gen_len, gen_len + 1)
+        now_finished = finished | (token_flat == gen.eos_token_id)
+        beam_scores = top_scores.reshape(-1)
+
+        seen = _scatter_seen(seen, token_flat)
+        slot = p_len + t
+        slot_mask = slot_mask.at[:, slot].set((~finished).astype(jnp.int32))
+        positions = (real_len + t)[:, None]
+        new_logits, cache = forward_with_cache(
+            params, token_flat[:, None], model_cfg, cache, slot, slot_mask, positions)
+
+        carry = (cache, slot_mask, new_logits[:, -1, :], seen, now_finished,
+                 beam_scores, emitted, gen_len)
+        return carry, None
+
+    init = (cache, slot_mask, last_logits, seen, jnp.zeros((bk,), bool),
+            beam_scores, emitted, gen_len)
+    (cache, slot_mask, last_logits, seen, finished,
+     beam_scores, emitted, gen_len), _ = jax.lax.scan(
+        body, init, jnp.arange(gen.max_new_tokens))
+
+    # HF decoder-only convention: normalise by full sequence length
+    lengths = (real_len + jnp.maximum(gen_len, 1)).astype(jnp.float32)
+    norm_scores = (beam_scores / lengths ** gen.length_penalty).reshape(b, k)
+    best = jnp.argmax(norm_scores, axis=-1)  # (B,)
+    emitted = emitted.reshape(b, k, -1)
+    return jnp.take_along_axis(emitted, best[:, None, None], axis=1)[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def generate(params, model_cfg: LlamaConfig, input_ids, attention_mask,
+             gen: GenerationConfig) -> np.ndarray:
+    """input_ids/attention_mask: LEFT-padded (B, P) int arrays.
+    Returns generated token ids (B, max_new_tokens), pad-filled after EOS."""
+    input_ids = jnp.asarray(input_ids, jnp.int32)
+    attention_mask = jnp.asarray(attention_mask, jnp.int32)
+    fn = _greedy if gen.num_beams == 1 else _beam
+    return np.asarray(fn(params, model_cfg, input_ids, attention_mask, gen))

@@ -267,6 +267,86 @@ def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
     return logits
 
 
+# ---------------------------------------------------------------------------
+# KV-cache forward (generation)
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: LlamaConfig, batch_size: int, max_len: int,
+               dtype=jnp.bfloat16) -> Dict[str, Dict[str, jax.Array]]:
+    """Per-layer K/V ring buffers (B, max_len, Hkv, hd)."""
+    hd = cfg.head_dim
+    return {
+        str(i): {
+            "k": jnp.zeros((batch_size, max_len, cfg.num_key_value_heads, hd), dtype),
+            "v": jnp.zeros((batch_size, max_len, cfg.num_key_value_heads, hd), dtype),
+        }
+        for i in range(cfg.num_hidden_layers)
+    }
+
+
+def forward_with_cache(params: Mapping[str, Any], input_ids: jax.Array,
+                       cfg: LlamaConfig, cache, cache_index,
+                       slot_mask: jax.Array, positions: jax.Array,
+                       linear=default_linear):
+    """Incremental forward: write K/V for `input_ids` (B, S_new) at slots
+    [cache_index, cache_index+S_new), attend over the whole cache gated by
+    `slot_mask` (B, max_len; must already include the new tokens' slots),
+    with RoPE at per-example `positions` (B, S_new). Returns (logits, cache).
+    """
+    b, s_new = input_ids.shape
+    max_len = slot_mask.shape[1]
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    cos, sin = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    # slot j is visible to new token i iff slot_mask[b, j] and j <= cache_index + i
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 1)
+    new_ids = jax.lax.broadcasted_iota(jnp.int32, (s_new, max_len), 0)
+    causal = slot_ids <= (cache_index + new_ids)
+    keep = causal[None] & (slot_mask[:, None, :] > 0)
+    mask_bias = jnp.where(keep, 0.0, jnp.finfo(jnp.float32).min)  # (B, S_new, max_len)
+
+    new_cache = {}
+    for i in range(cfg.num_hidden_layers):
+        li = str(i)
+        lp = params["layers"][li]
+        h = _rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = linear(h, lp["q_proj"], "q_proj", i).reshape(
+            b, s_new, cfg.num_attention_heads, cfg.head_dim)
+        k = linear(h, lp["k_proj"], "k_proj", i).reshape(
+            b, s_new, cfg.num_key_value_heads, cfg.head_dim)
+        v = linear(h, lp["v_proj"], "v_proj", i).reshape(
+            b, s_new, cfg.num_key_value_heads, cfg.head_dim)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+
+        ck = jax.lax.dynamic_update_slice(
+            cache[li]["k"], k.astype(cache[li]["k"].dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache[li]["v"], v.astype(cache[li]["v"].dtype), (0, cache_index, 0, 0))
+        new_cache[li] = {"k": ck, "v": cv}
+
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        groups = hq // hkv
+        qg = q.reshape(b, s_new, hkv, groups, cfg.head_dim)
+        scores = jnp.einsum("bqkgd,bskd->bkgqs", qg,
+                            ck.astype(q.dtype)).astype(jnp.float32)
+        scores = scores / np.sqrt(cfg.head_dim) + mask_bias[:, None, None, :, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bkgqs,bskd->bqkgd", probs, cv.astype(x.dtype))
+        attn = attn.reshape(b, s_new, hq * cfg.head_dim)
+        x = x + linear(attn, lp["o_proj"], "o_proj", i)
+
+        h = _rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        gate = linear(h, lp["gate_proj"], "gate_proj", i)
+        up = linear(h, lp["up_proj"], "up_proj", i)
+        x = x + linear(jax.nn.silu(gate) * up, lp["down_proj"], "down_proj", i)
+
+    x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
+    logits = jnp.einsum("bsd,vd->bsv", x, head).astype(jnp.float32)
+    return logits, new_cache
+
+
 def _tapped(linear, taps: dict, attention_mask: jax.Array):
     """Wrap the linear dispatch to record sum_batch |input| (masked) per
     target linear — the channel-saliency statistic. Output shape per tap:

@@ -1,0 +1,72 @@
+"""Orbax checkpoint / resume — a capability the reference lacks entirely
+(SURVEY.md §5.4: reference saves are HF-format weights only; optimizer/
+scheduler/step state is lost on crash, resume is unsupported).
+
+A checkpoint records the full train-state pytree, the SMT plan (if
+converted), the phase, and the config — so an SMT run can resume mid
+warm-up (with its saliency accumulators) or mid sparse phase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, trainer) -> None:
+    """trainer: SMTTrainer. Writes {path}/state, plan.json, meta.json."""
+    if jax.process_index() != 0 and jax.process_count() > 1:
+        return
+    os.makedirs(path, exist_ok=True)
+    _ckptr().save(os.path.join(os.path.abspath(path), "state"), trainer.state,
+                  force=True)
+    meta = {"phase": trainer.phase, "step": trainer.step,
+            "total_steps": trainer.total_steps,
+            "best_eval_loss": trainer.best_eval_loss}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(trainer.cfg.to_json())
+    if trainer.plan is not None:
+        with open(os.path.join(path, "plan.json"), "w") as f:
+            f.write(trainer.plan.to_json())
+
+
+def restore_checkpoint(path: str, trainer) -> None:
+    """Restore state/phase/plan into an SMTTrainer constructed with the same
+    config+model. Rebuilds the sparse step function if needed."""
+    from sparse_matrix_tuning_tpu.smt.plan import SMTPlan
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    plan = None
+    plan_file = os.path.join(path, "plan.json")
+    if os.path.exists(plan_file):
+        with open(plan_file) as f:
+            plan = SMTPlan.from_json(f.read())
+
+    template = jax.tree.map(lambda x: x, trainer.state)
+    if meta["phase"] == "sparse" and trainer.phase == "warmup":
+        # build a structural template for the sparse state
+        from sparse_matrix_tuning_tpu.train.steps import init_sparse_state
+        master = trainer.state["master"]
+        params = jax.tree.map(lambda p: p.astype(trainer.cfg.param_dtype), master)
+        trainable = plan.gather(master["layers"])
+        template = init_sparse_state(params, trainable, step=0)
+
+    restored = _ckptr().restore(os.path.join(os.path.abspath(path), "state"),
+                                item=template)
+    trainer.state = restored
+    trainer.best_eval_loss = meta["best_eval_loss"]
+    if meta["phase"] == "sparse":
+        trainer.plan = plan
+        trainer.install_sparse_phase()
+    trainer._place_state(plan_mode=plan.mode if plan else None)

@@ -103,15 +103,8 @@ class SMTTrainer:
         t0 = time.time()
         self.plan, self.state = convert_mod.convert(self.cfg, self.state,
                                                     self._all_2d_shapes)
-        self.phase = "sparse"
         self._place_state(plan_mode=self.plan.mode)
-
-        sparse_sched = make_lr_schedule(
-            self.cfg.lr_scheduler_type, self.cfg.smt_lr,
-            self.cfg.smt_lr_warmup_steps,
-            max(self.total_steps - self.step, 1))
-        self._sparse_step = self._jit(
-            build_sparse_step(self.cfg, self.model_cfg, self.plan, sparse_sched))
+        self.install_sparse_phase()
 
         total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state["params"]))
         sel = self.plan.trainable_params
@@ -119,6 +112,22 @@ class SMTTrainer:
             f"[smt] converted at step {self.step} in {time.time() - t0:.1f}s: "
             f"{len(self.plan.linears)} linears, {sel:,} trainable "
             f"({100.0 * sel / total:.3f}% of {total:,})")
+
+    def install_sparse_phase(self):
+        """Switch to phase 2: build the jitted sparse step (LR schedule over
+        the remaining horizon at smt_lr — reference fine_tune.py:366-372,
+        with the group-lr-overrides-constructor-lr quirk, smt.py:506-519)."""
+        self.phase = "sparse"
+        # schedule horizon counts from the conversion step (reference
+        # fine_tune.py:366-372); recover it as step - sparse-update-count so
+        # this also holds when restoring a mid-sparse-phase checkpoint
+        conversion_step = self.step - int(self.state["count"])
+        sparse_sched = make_lr_schedule(
+            self.cfg.lr_scheduler_type, self.cfg.smt_lr,
+            self.cfg.smt_lr_warmup_steps,
+            max(self.total_steps - conversion_step, 1))
+        self._sparse_step = self._jit(
+            build_sparse_step(self.cfg, self.model_cfg, self.plan, sparse_sched))
 
     # -- steps ------------------------------------------------------------------------
 

@@ -1,0 +1,103 @@
+"""Full-pipeline CLI tests: fine_tune entry on a local tiny HF checkpoint +
+alpaca-style JSON, then the generation-eval entry on its export."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_dir(tmp_path_factory):
+    """Local HF checkpoint dir: tiny Llama weights + a real fast tokenizer."""
+    torch = pytest.importorskip("torch")
+    from transformers import (LlamaConfig as HFConfig, LlamaForCausalLM,
+                              PreTrainedTokenizerFast)
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+    d = tmp_path_factory.mktemp("tiny_ckpt")
+
+    corpus = ["Below is an instruction that describes a task.",
+              "Write a response that appropriately completes the request.",
+              "### Instruction: ### Response: true false solution1 solution2",
+              "the quick brown fox jumps over the lazy dog"] * 50
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.train_from_iterator(corpus, trainers.BpeTrainer(
+        vocab_size=400, special_tokens=["<pad>", "<unk>", "<s>", "</s>"]))
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<pad>", unk_token="<unk>",
+        bos_token="<s>", eos_token="</s>")
+    fast.save_pretrained(d)
+
+    hf_cfg = HFConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        attention_bias=False)
+    torch.manual_seed(0)
+    LlamaForCausalLM(hf_cfg).save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    examples = [
+        {"instruction": f"Repeat the word fox number {i}",
+         "output": "the quick brown fox"} for i in range(32)
+    ]
+    path = d / "train.json"
+    path.write_text(json.dumps(examples))
+    return str(path)
+
+
+def test_fine_tune_cli_end_to_end(tiny_hf_dir, tiny_data, tmp_path):
+    from sparse_matrix_tuning_tpu.cli.fine_tune import main
+    out = tmp_path / "out"
+    history = main([
+        "--model_name_or_path", tiny_hf_dir,
+        "--data_path", tiny_data,
+        "--output_dir", str(out),
+        "--matrix_sparsity", "--full_ft_steps", "1",
+        "--downsample_attention_blocks_ratio", "0.2",
+        "--downsample_mlp_blocks_ratio", "0.2",
+        "--per_device_ft_batch_size", "1",
+        "--per_device_eval_batch_size", "1",
+        "--num_ft_epochs", "1",
+        "--max_seq_len", "64",
+        "--eval_step", "2", "--dtype", "fp32",
+        "--ft_learning_rate", "1e-3", "--smt_lr", "1e-3",
+        "--no_gradient_checkpointing",
+    ])
+    assert len(history["train_loss"]) >= 3
+    assert np.isfinite(history["train_loss"]).all()
+    assert (out / "final" / "model.safetensors").exists()
+    assert (out / "final" / "smt_plan.json").exists()
+    assert (out / "final" / "tokenizer_config.json").exists()
+    assert np.isfinite(history["eval_loss"]).all()
+
+
+def test_eval_cli_on_export(tiny_hf_dir, tmp_path):
+    # build a fake commonsense dataset dir and run the eval CLI on the raw model
+    from sparse_matrix_tuning_tpu.cli.run_commonsense import main
+    data_dir = tmp_path / "cs"
+    (data_dir / "boolq").mkdir(parents=True)
+    examples = [{"instruction": f"Is the sky blue? {i}", "answer": "true"}
+                for i in range(4)]
+    (data_dir / "boolq" / "test.json").write_text(json.dumps(examples))
+
+    results = main([
+        "--model_name_or_path", tiny_hf_dir,
+        "--data_path", str(data_dir),
+        "--datasets", "boolq",
+        "--output_dir", str(tmp_path / "eval_out"),
+        "--per_device_eval_batch_size", "2",
+        "--max_new_tokens", "8", "--num_beams", "2",
+        "--dtype", "fp32",
+    ])
+    assert "boolq" in results
+    preds = (tmp_path / "eval_out" / "boolq" / "model_predictions.jsonl")
+    assert preds.exists()
+    assert len(preds.read_text().strip().splitlines()) == 4
+    assert (tmp_path / "eval_out" / "summary.json").exists()

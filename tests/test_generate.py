@@ -1,0 +1,96 @@
+"""Generation parity vs HF transformers on the tiny model: greedy and
+beam-4 with repetition penalty, left-padded batches — the decode settings
+of the reference eval harness (run_commonsense_parallel.py:257-265)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sparse_matrix_tuning_tpu.eval.generate import GenerationConfig, generate
+from sparse_matrix_tuning_tpu.eval.harness import extract_answer
+from sparse_matrix_tuning_tpu.models.hf_io import load_hf_config, load_hf_params
+
+from test_model import hf_tiny, CFG  # noqa: F401  (fixture reuse)
+
+
+def _hf_generate(model, ids, mask, **kw):
+    import torch
+    with torch.no_grad():
+        out = model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            do_sample=False, pad_token_id=0, eos_token_id=2, **kw)
+    return out[:, ids.shape[1]:].numpy()
+
+
+def _left_padded_prompts(rng, n=3, lens=(5, 8, 11), pmax=12, vocab=256):
+    ids = np.zeros((n, pmax), np.int64)
+    mask = np.zeros((n, pmax), np.int64)
+    for i, L in enumerate(lens):
+        ids[i, pmax - L:] = rng.integers(3, vocab, L)
+        mask[i, pmax - L:] = 1
+    return ids, mask
+
+
+@pytest.mark.parametrize("rep_penalty", [1.0, 1.1])
+def test_greedy_matches_hf(hf_tiny, rep_penalty):  # noqa: F811
+    model, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids, mask = _left_padded_prompts(rng)
+
+    want = _hf_generate(model, ids, mask, max_new_tokens=12,
+                        repetition_penalty=rep_penalty)
+    gen = GenerationConfig(max_new_tokens=12, num_beams=1,
+                           repetition_penalty=rep_penalty,
+                           eos_token_id=2, pad_token_id=0, cache_dtype="float32")
+    got = generate(params, cfg, ids, mask, gen)
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_beam4_matches_hf(hf_tiny):  # noqa: F811
+    model, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids, mask = _left_padded_prompts(rng, lens=(6, 6, 6))
+
+    want = _hf_generate(model, ids, mask, max_new_tokens=8, num_beams=4)
+    gen = GenerationConfig(max_new_tokens=8, num_beams=4,
+                           eos_token_id=2, pad_token_id=0, cache_dtype="float32")
+    got = generate(params, cfg, ids, mask, gen)
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_eos_then_pad(hf_tiny):  # noqa: F811
+    _, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    ids, mask = _left_padded_prompts(rng, n=2, lens=(4, 7), pmax=8)
+    gen = GenerationConfig(max_new_tokens=20, num_beams=1,
+                           eos_token_id=2, pad_token_id=0, cache_dtype="float32")
+    got = generate(params, cfg, ids, mask, gen)
+    for row in got:
+        eos_pos = np.where(row == 2)[0]
+        if eos_pos.size:
+            assert (row[eos_pos[0] + 1:] == 0).all()
+
+
+def test_extract_answer_reference_parity():
+    assert extract_answer("boolq", "The answer is True.") == "true"
+    assert extract_answer("piqa", "I pick Solution2 because...") == "solution2"
+    assert extract_answer("social_i_qa", "answer3") == "answer3"
+    assert extract_answer("hellaswag", "ending4 is right") == "ending4"
+    assert extract_answer("winogrande", "option1") == "option1"
+    assert extract_answer("ARC-Easy", "clearly answer5.") == "answer5"
+    assert extract_answer("boolq", "no idea") == ""
+    # first match wins (reference pred_answers[0])
+    assert extract_answer("boolq", "false then true") == "false"
+
+
+def test_extract_answer_math():
+    assert extract_answer("gsm8k", "So the result is 42 dollars") == "42"
+    assert extract_answer("gsm8k", "= 1,234.5.") == "1234.5"
+    assert extract_answer("SVAMP", "no numbers") == ""
+    assert extract_answer("AQuA", "the answer is (c)") == "c"
