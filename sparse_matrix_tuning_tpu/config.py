@@ -35,6 +35,9 @@ class SMTConfig:
     dtype: str = "bf16"            # reference: --dtype {fp16,bf16,fp32}
     compute_fp32_loss: bool = True  # loss/logits softmax in fp32
     gradient_checkpointing: bool = True  # reference: always enabled (fine_tune.py:192)
+    # sparse-phase override: SMT frees grad+optimizer memory, which usually
+    # buys remat-free sparse training. None = same as gradient_checkpointing.
+    sparse_gradient_checkpointing: Optional[bool] = None
 
     # --- optimisation ---------------------------------------------------------
     per_device_ft_batch_size: int = 16
@@ -74,6 +77,9 @@ class SMTConfig:
     #   "pallas"  — Pallas gather-matmul grad-weight kernel (performance path)
     #   "auto"    — pallas on TPU backends, oracle elsewhere
     sparse_impl: str = "auto"
+    # attention implementation: "einsum" (reference-like masked softmax),
+    # "flash" (fused Pallas kernel; TPU, right-padded causal only), "auto"
+    attn_impl: str = "auto"
 
     # --- schedule / cadence -----------------------------------------------------
     eval_step: int = 30
@@ -108,6 +114,14 @@ class SMTConfig:
             raise ValueError(f"unknown calculate_strategy {self.calculate_strategy!r}")
         if self.sparse_impl not in ("oracle", "pallas", "auto"):
             raise ValueError(f"unknown sparse_impl {self.sparse_impl!r}")
+        if self.attn_impl not in ("einsum", "flash", "auto"):
+            raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
+
+    @property
+    def sparse_remat(self) -> bool:
+        if self.sparse_gradient_checkpointing is None:
+            return self.gradient_checkpointing
+        return self.sparse_gradient_checkpointing
 
     @property
     def param_dtype(self):
@@ -179,12 +193,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # TPU-native additions
     p.add_argument("--sparse_impl", type=str, default=d.sparse_impl,
                    choices=["oracle", "pallas", "auto"])
+    p.add_argument("--attn_impl", type=str, default=d.attn_impl,
+                   choices=["einsum", "flash", "auto"])
     p.add_argument("--mesh_shape", type=int, nargs="*", default=None,
                    help="data fsdp tensor mesh dims; default = all devices on fsdp")
     p.add_argument("--seq_buckets", type=int, nargs="*", default=None)
     p.add_argument("--resume_from", type=str, default=None)
     p.add_argument("--no_gradient_checkpointing", dest="gradient_checkpointing",
                    action="store_false")
+    p.add_argument("--sparse_gradient_checkpointing", type=lambda s: s == "true",
+                   choices=[True, False], default=None, metavar="{true,false}",
+                   help="override remat for the sparse phase only")
     return p
 
 

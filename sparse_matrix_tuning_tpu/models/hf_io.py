@@ -30,10 +30,20 @@ LLAMA3_FAMILY_MARKERS = ("Llama-3", "llama-3", "Meta-Llama-3", "DeepSeek-R1-Dist
 
 def _hf_to_tree_name(name: str) -> Optional[tuple]:
     """HF state-dict key -> path into our pytree; None = skip (buffers)."""
+    bias = False
     if name.endswith(".weight"):
         name = name[: -len(".weight")]
+    elif name.endswith(".bias"):  # Qwen2-style QKV biases
+        name = name[: -len(".bias")]
+        bias = True
     else:
-        return None  # no biases in Llama-family; skip rotary buffers etc.
+        return None  # skip rotary buffers etc.
+    if bias:
+        parts = name.split(".")
+        if len(parts) >= 5 and parts[0] == "model" and parts[1] == "layers" \
+                and parts[3] in ("self_attn", "mlp"):
+            return ("layers", parts[2], f"{parts[4]}_bias")
+        return None
     if name == "model.embed_tokens":
         return ("embed_tokens",)
     if name == "model.norm":
@@ -59,11 +69,14 @@ def _tree_to_hf_name(path: tuple) -> str:
     if path == ("lm_head",):
         return "lm_head.weight"
     _, layer, module = path
+    suffix = ".weight"
+    if module.endswith("_bias"):
+        module, suffix = module[: -len("_bias")], ".bias"
     group = "self_attn" if module.endswith(("q_proj", "k_proj", "v_proj", "o_proj")) \
         else "mlp" if module in ("gate_proj", "up_proj", "down_proj") else None
     if group is None:
-        return f"model.layers.{layer}.{module}.weight"
-    return f"model.layers.{layer}.{group}.{module}.weight"
+        return f"model.layers.{layer}.{module}{suffix}"
+    return f"model.layers.{layer}.{group}.{module}{suffix}"
 
 
 # ---------------------------------------------------------------------------
@@ -72,7 +85,10 @@ def _tree_to_hf_name(path: tuple) -> str:
 
 def load_hf_config(model_dir: str) -> LlamaConfig:
     with open(os.path.join(model_dir, "config.json")) as f:
-        return LlamaConfig.from_hf(json.load(f))
+        raw = json.load(f)
+    from sparse_matrix_tuning_tpu.models.registry import resolve_family
+    resolve_family(raw.get("model_type", "llama"))
+    return LlamaConfig.from_hf(raw)
 
 
 def load_hf_params(model_dir: str, cfg: Optional[LlamaConfig] = None,
@@ -126,6 +142,89 @@ def _torch_to_numpy(t) -> np.ndarray:
     if t.dtype == torch.bfloat16:
         return t.view(torch.int16).numpy().view(ml_dtypes.bfloat16)
     return t.numpy()
+
+
+def load_hf_params_sharded(model_dir: str, mesh, cfg: Optional[LlamaConfig] = None,
+                           dtype=jnp.bfloat16):
+    """Shard-aware checkpoint load for models too large to materialise on
+    host (BASELINE.json configs[4]: Llama-3-70B on a v5p-64): each device
+    reads ONLY its slice of each safetensors tensor via lazy get_slice, and
+    jax.make_array_from_callback assembles the global sharded array.
+
+    Replaces the reference's ZeRO-3 loader (load_state_dict_into_model,
+    deepspeed_helpers.py:533-572), which gathers full params per module.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+    from sparse_matrix_tuning_tpu.parallel import mesh as mesh_mod
+
+    cfg = cfg or load_hf_config(model_dir)
+    st_files = sorted(f for f in os.listdir(model_dir) if f.endswith(".safetensors"))
+    if not st_files:
+        raise FileNotFoundError(f"no .safetensors in {model_dir} (sharded load "
+                                "requires safetensors)")
+    from safetensors import safe_open
+
+    # index: hf key -> (file, shape)
+    index = {}
+    for fname in st_files:
+        with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+            for k in f.keys():
+                index[k] = (fname, tuple(f.get_slice(k).get_shape()))
+
+    # probe structure to derive pspecs (shapes only, no data)
+    structure: Dict[str, Any] = {"layers": {}}
+    paths = {}
+    for k, (fname, shape) in index.items():
+        path = _hf_to_tree_name(k)
+        if path is None:
+            continue
+        node = structure
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.zeros((0,))  # placeholder leaf
+        paths[path] = (k, fname, shape)
+    if cfg.tie_word_embeddings:
+        structure.pop("lm_head", None)
+        paths = {p: v for p, v in paths.items() if p != ("lm_head",)}
+
+    specs = mesh_mod.param_pspecs(structure)
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def fit(spec, shape):
+        out = []
+        for d, names in enumerate(spec):
+            if names is None:
+                out.append(None)
+                continue
+            group = names if isinstance(names, tuple) else (names,)
+            size = int(np.prod([axis_sizes[n] for n in group]))
+            out.append(names if shape[d] % size == 0 else None)
+        from jax.sharding import PartitionSpec as P
+        return P(*out)
+
+    def build(path, spec):
+        key, fname, shape = paths[path]
+        sharding = NamedSharding(mesh, fit(spec, shape))
+        fpath = os.path.join(model_dir, fname)
+
+        def cb(idx):
+            with safe_open(fpath, framework="np") as f:
+                chunk = f.get_slice(key)[idx]
+            return jnp.asarray(chunk).astype(dtype)
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    params: Dict[str, Any] = {"layers": {}}
+    for path in paths:
+        spec = specs
+        for p in path:
+            spec = spec[p]
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = build(path, spec)
+    return params
 
 
 # ---------------------------------------------------------------------------

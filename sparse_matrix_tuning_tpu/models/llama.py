@@ -193,26 +193,69 @@ def _attention(q, k, v, mask_bias):
     return out.reshape(b, s, hq * hd)
 
 
+def _flash_attention(q, k, v):
+    """Fused Pallas flash attention (TPU): causal, right-padding safe — pad
+    keys sit causally after every real query, so they are never attended;
+    pad-query outputs are dropped by the loss mask. GQA via KV-head repeat."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+    b, s, hq, hd = q.shape
+    hkv = k.shape[2]
+    if hkv != hq:
+        k = jnp.repeat(k, hq // hkv, axis=2)
+        v = jnp.repeat(v, hq // hkv, axis=2)
+    # kernel layout: (B, H, S, D)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), causal=True, sm_scale=1.0 / float(np.sqrt(hd)))
+    return out.transpose(0, 2, 1, 3).reshape(b, s, hq * hd)
+
+
+def resolve_attn_impl(attn_impl: str, seq_len: int, head_dim: int) -> str:
+    """Measured on v5e (tools/profile_step.py methodology): XLA's fused
+    einsum attention beats the stock Pallas flash kernel at seq 1024-4096
+    in both fwd and bwd (e.g. bwd 13.7ms vs 24.7ms at seq 2048), so "auto"
+    resolves to einsum; flash remains opt-in for longer-context regimes."""
+    if attn_impl != "auto":
+        return attn_impl
+    return "einsum"
+
+
+def _lin(lp: Mapping[str, jax.Array], h: jax.Array, name: str, linear,
+         layer_idx: int) -> jax.Array:
+    """Linear via the dispatch hook, plus bias when the checkpoint has one
+    (Qwen2-style QKV biases). Biases are never SMT-selected (the reference
+    targets weight matrices only) and stay frozen after conversion."""
+    y = linear(h, lp[name], name, layer_idx)
+    bias = lp.get(f"{name}_bias")
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
 def _decoder_layer(lp: Mapping[str, jax.Array], x: jax.Array, mask_bias, cos, sin,
-                   cfg: LlamaConfig, linear, layer_idx: int) -> jax.Array:
+                   cfg: LlamaConfig, linear, layer_idx: int,
+                   attn_impl: str = "einsum") -> jax.Array:
     b, s, d = x.shape
     h = _rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = linear(h, lp["q_proj"], "q_proj", layer_idx)
-    k = linear(h, lp["k_proj"], "k_proj", layer_idx)
-    v = linear(h, lp["v_proj"], "v_proj", layer_idx)
+    q = _lin(lp, h, "q_proj", linear, layer_idx)
+    k = _lin(lp, h, "k_proj", linear, layer_idx)
+    v = _lin(lp, h, "v_proj", linear, layer_idx)
     hd = cfg.head_dim
     q = q.reshape(b, s, cfg.num_attention_heads, hd)
     k = k.reshape(b, s, cfg.num_key_value_heads, hd)
     v = v.reshape(b, s, cfg.num_key_value_heads, hd)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    attn = _attention(q, k, v, mask_bias)
-    x = x + linear(attn, lp["o_proj"], "o_proj", layer_idx)
+    if attn_impl == "flash":
+        attn = _flash_attention(q, k, v)
+    else:
+        attn = _attention(q, k, v, mask_bias)
+    x = x + _lin(lp, attn, "o_proj", linear, layer_idx)
 
     h = _rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = linear(h, lp["gate_proj"], "gate_proj", layer_idx)
-    up = linear(h, lp["up_proj"], "up_proj", layer_idx)
-    x = x + linear(jax.nn.silu(gate) * up, lp["down_proj"], "down_proj", layer_idx)
+    gate = _lin(lp, h, "gate_proj", linear, layer_idx)
+    up = _lin(lp, h, "up_proj", linear, layer_idx)
+    x = x + _lin(lp, jax.nn.silu(gate) * up, "down_proj", linear, layer_idx)
     return x
 
 
@@ -225,7 +268,9 @@ def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
             positions: Optional[jax.Array] = None,
             linear=default_linear,
             remat: bool = True,
-            activation_taps: Optional[dict] = None) -> jax.Array:
+            activation_taps: Optional[dict] = None,
+            stop_grad_below_layer: Optional[int] = None,
+            attn_impl: str = "einsum") -> jax.Array:
     """Run the decoder; returns logits (B, S, V) in fp32.
 
     `linear(x, w, module_name, layer_idx)` is the linear dispatch hook — the
@@ -233,6 +278,12 @@ def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
     blocks. `activation_taps`, when given a dict, receives the fp32 |input|
     sums per target linear (the channel-saliency statistic — replaces the
     reference's Catcher/forward-hook machinery, fine_tune.py:586-708).
+
+    `stop_grad_below_layer`: cut the backward graph at the input of this
+    layer. Torch-autograd parity: in the reference, layers whose params all
+    have requires_grad=False below the lowest selected layer never get a
+    backward pass (autograd prunes the subgraph); XLA needs the explicit
+    stop_gradient to DCE the same work.
     """
     b, s = input_ids.shape
     if attention_mask is None:
@@ -252,14 +303,19 @@ def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
     if activation_taps is not None:
         linear = _tapped(linear, activation_taps, attention_mask)
 
+    attn_impl = resolve_attn_impl(attn_impl, s, cfg.head_dim)
+
     layer_fn = _decoder_layer
     if remat and activation_taps is None:
         layer_fn = jax.checkpoint(_decoder_layer,
-                                  static_argnums=(5, 6, 7),
+                                  static_argnums=(5, 6, 7, 8),
                                   policy=jax.checkpoint_policies.nothing_saveable)
 
     for i in range(cfg.num_hidden_layers):
-        x = layer_fn(params["layers"][str(i)], x, mask_bias, cos, sin, cfg, linear, i)
+        if stop_grad_below_layer is not None and i == stop_grad_below_layer:
+            x = jax.lax.stop_gradient(x)
+        x = layer_fn(params["layers"][str(i)], x, mask_bias, cos, sin, cfg,
+                     linear, i, attn_impl)
 
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]

@@ -69,7 +69,7 @@ def param_pspecs(params: Mapping[str, Any]) -> Dict[str, Any]:
     for li, layer in params["layers"].items():
         ls = {}
         for name in layer:
-            if name.endswith("layernorm"):
+            if name.endswith("layernorm") or name.endswith("_bias"):
                 ls[name] = P()
             else:
                 ls[name] = _weight_pspec(name)
@@ -161,7 +161,9 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
             return P()
         if sub[0] == "layers":
             name = sub[2]
-            return P() if name.endswith("layernorm") else _weight_pspec(name)
+            if name.endswith("layernorm") or name.endswith("_bias"):
+                return P()
+            return _weight_pspec(name)
         return P()
 
     return jax.tree_util.tree_map_with_path(

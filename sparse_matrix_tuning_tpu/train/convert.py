@@ -62,17 +62,26 @@ def compute_matrix_selection(cfg: SMTConfig, acc: Dict[str, jax.Array],
         return {ks: np.asarray(jax.jit(block_stats, static_argnums=(1,))(g, strategy))
                 for ks, g in acc.items()}
 
+    def maybe_analyze(stats):
+        if cfg.do_gradient_distribution_analysis and cfg.output_dir:
+            from sparse_matrix_tuning_tpu.utils.analysis import (
+                analyze_gradient_distribution)
+            analyze_gradient_distribution(stats, cfg.output_dir)
+
     if cfg.no_limit_mixture:
         stats = stats_of(cfg.calculate_strategy)
         merged = {parse_key(ks): s for ks, s in stats.items()}
+        maybe_analyze(merged)
         return select_submatrices(merged, n_attn + n_mlp, cfg.selection_strategy)
 
     selected: Dict = {}
     if n_attn > 0:
         attn_stats, _ = _split_stats(stats_of(ATTENTION_CALCULATE_STRATEGY))
+        maybe_analyze(attn_stats)
         selected.update(select_submatrices(attn_stats, n_attn, cfg.selection_strategy))
     if n_mlp > 0:
         _, mlp_stats = _split_stats(stats_of(cfg.calculate_strategy))
+        maybe_analyze(mlp_stats)
         selected.update(select_submatrices(mlp_stats, n_mlp, cfg.selection_strategy))
     return selected
 

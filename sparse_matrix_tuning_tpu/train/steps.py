@@ -102,7 +102,8 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
             params = _cast_tree(master, param_dtype)
             logits = forward(params, batch["input_ids"], model_cfg,
                              attention_mask=batch.get("attention_mask"),
-                             remat=cfg.gradient_checkpointing)
+                             remat=cfg.gradient_checkpointing,
+                             attn_impl=cfg.attn_impl)
             return causal_lm_loss(logits, batch["labels"])
 
         loss, grads = jax.value_and_grad(loss_of)(state["master"])
@@ -146,7 +147,8 @@ def build_channel_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callabl
         taps: Dict[str, jax.Array] = {}
         logits = forward(params, batch["input_ids"], model_cfg,
                          attention_mask=batch.get("attention_mask"),
-                         remat=False, activation_taps=taps)
+                         remat=False, activation_taps=taps,
+                         attn_impl=cfg.attn_impl)
         loss = causal_lm_loss(logits, batch["labels"])
 
         new_act = {}
@@ -184,6 +186,8 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
     adam_cfg = AdamConfig(betas=tuple(betas), eps=cfg.adam_eps,
                           weight_decay=cfg.w_decay, grad_clip=cfg.grad_clip)
     lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
+    # torch-autograd parity: no backward below the lowest trainable layer
+    lowest_layer = min(lp.layer for lp in plan.linears.values())
 
     def step(state: Dict, batch: Dict) -> tuple:
         params = state["params"]
@@ -192,7 +196,9 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
             linear = make_sparse_linear_dispatch(plan, trainable, cfg.sparse_impl)
             logits = forward(params, batch["input_ids"], model_cfg,
                              attention_mask=batch.get("attention_mask"),
-                             linear=linear, remat=cfg.gradient_checkpointing)
+                             linear=linear, remat=cfg.sparse_remat,
+                             stop_grad_below_layer=lowest_layer,
+                             attn_impl=cfg.attn_impl)
             return causal_lm_loss(logits, batch["labels"])
 
         loss, grads = jax.value_and_grad(loss_of)(state["trainable"])
@@ -234,7 +240,8 @@ def build_eval_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callable:
             params = params["params"]
         logits = forward(params, batch["input_ids"], model_cfg,
                          attention_mask=batch.get("attention_mask"),
-                         remat=cfg.gradient_checkpointing)
+                         remat=cfg.gradient_checkpointing,
+                         attn_impl=cfg.attn_impl)
         return causal_lm_loss(logits, batch["labels"])
 
     return step

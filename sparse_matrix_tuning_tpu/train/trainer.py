@@ -158,6 +158,7 @@ class SMTTrainer:
 
     def fit(self, train_ds, eval_ds, pad_token_id: int,
             tokenizer=None, on_metrics=None) -> Dict[str, list]:
+        from sparse_matrix_tuning_tpu.data import native
         from sparse_matrix_tuning_tpu.data.sft import batch_iterator, num_batches
 
         cfg = self.cfg
@@ -178,19 +179,41 @@ class SMTTrainer:
                                   cfg.seq_buckets, cfg.seed, 0,
                                   shuffle=False, drop_last=False)
 
+        # training batches: C++ arena collation + background prefetch when
+        # the native extension builds; numpy fallback otherwise
+        if native.native_available() and len(train_ds):
+            arena = native.TokenArena.from_dataset(train_ds)
+
+            def train_batches(epoch):
+                return native.PrefetchLoader(
+                    lambda: native.native_batch_iterator(
+                        arena, global_bs, pad_token_id, cfg.seq_buckets,
+                        cfg.seed, epoch))
+        else:
+            def train_batches(epoch):
+                return batch_iterator(train_ds, global_bs, pad_token_id,
+                                      cfg.seq_buckets, cfg.seed, epoch)
+
         stop = False
         for epoch in range(cfg.num_ft_epochs):
             print_rank_0(f"Beginning of Epoch {epoch + 1}/{cfg.num_ft_epochs}, "
                          f"Total Micro Batches {steps_per_epoch}")
             mean_loss, n_steps = 0.0, 0
-            for batch in batch_iterator(train_ds, global_bs, pad_token_id,
-                                        cfg.seq_buckets, cfg.seed, epoch):
+            for batch in train_batches(epoch):
                 metrics = self.train_step(batch)
                 loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    # explicit NaN guard (the reference has no sanitizers,
+                    # SURVEY.md §5.2 — a NaN there silently poisons the run)
+                    raise FloatingPointError(
+                        f"non-finite training loss at step {self.step} "
+                        f"(phase {self.phase}); last grad_norm="
+                        f"{float(metrics.get('grad_norm', float('nan')))}")
                 mean_loss += loss
                 n_steps += 1
                 self.history["train_loss"].append(loss)
                 step = self.step
+                self._log_metrics(step, metrics)
 
                 rep = self.reporter.maybe_report(step)
                 if rep:
@@ -241,6 +264,19 @@ class SMTTrainer:
             return self.state["params"]
         return jax.tree.map(lambda p: p.astype(self.cfg.param_dtype),
                             self.state["master"])
+
+    def _log_metrics(self, step: int, metrics: Dict):
+        """Structured metrics stream (replaces the reference's disabled
+        tensorboard block, deepspeed_helpers.py:98-102): one JSON line per
+        step into {output_dir}/metrics.jsonl."""
+        if not self.cfg.output_dir or jax.process_index() != 0:
+            return
+        import json
+        os.makedirs(self.cfg.output_dir, exist_ok=True)
+        rec = {"step": step, "phase": self.phase,
+               **{k: float(v) for k, v in metrics.items()}}
+        with open(os.path.join(self.cfg.output_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def _save(self, tag: str, tokenizer=None):
         if not self.cfg.output_dir or jax.process_index() != 0:
