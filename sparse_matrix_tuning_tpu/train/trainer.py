@@ -236,6 +236,7 @@ class SMTTrainer:
 
                 if cfg.save_steps > 0 and step % cfg.save_steps == 0:
                     self._save(f"step_{step}", tokenizer)
+                    self._save_resumable()
 
                 if cfg.early_terminate and step > 0 and step % 3000 == 0:
                     stop = True
@@ -244,6 +245,7 @@ class SMTTrainer:
                 print_rank_0(f"epoch {epoch + 1}/{cfg.num_ft_epochs} with "
                              f"training loss: {mean_loss / n_steps}")
             self._save(f"epoch_{epoch + 1}", tokenizer)
+            self._save_resumable()
             if stop:
                 break
 
@@ -264,6 +266,14 @@ class SMTTrainer:
             return self.state["params"]
         return jax.tree.map(lambda p: p.astype(self.cfg.param_dtype),
                             self.state["master"])
+
+    def _save_resumable(self):
+        """Orbax full-state checkpoint at {output_dir}/ckpt — what
+        --resume_from consumes (the HF-format saves are weights-only)."""
+        if not self.cfg.output_dir:
+            return
+        from sparse_matrix_tuning_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(os.path.join(self.cfg.output_dir, "ckpt"), self)
 
     def _log_metrics(self, step: int, metrics: Dict):
         """Structured metrics stream (replaces the reference's disabled
