@@ -87,6 +87,21 @@ def run_phase(phase: str, small: bool) -> dict:
                   lr_scheduler_type="constant", eval_step=0, save_steps=0,
                   max_seq_len=seq, seq_buckets=[seq])
 
+    def peak_hbm():
+        # NB: peak is process-lifetime (the SMT child's peak includes its one
+        # full-FT warm-up step); live_hbm after the timed steps is the
+        # steady-state footprint of the measured phase.
+        try:
+            return (jax.devices()[0].memory_stats() or {}).get("peak_bytes_in_use", 0)
+        except Exception:
+            return 0
+
+    def live_hbm():
+        try:
+            return (jax.devices()[0].memory_stats() or {}).get("bytes_in_use", 0)
+        except Exception:
+            return 0
+
     if phase == "full":
         cfg = SMTConfig(matrix_sparsity=False, gradient_checkpointing=True,
                         **common)
@@ -97,7 +112,8 @@ def run_phase(phase: str, small: bool) -> dict:
         opt_bytes = tree_bytes({"m": trainer.state["m"], "v": trainer.state["v"],
                                 "master": trainer.state["master"]})
         return {"sec_per_step": sec, "opt_bytes": opt_bytes,
-                "tokens": bsz * seq}
+                "tokens": bsz * seq, "peak_hbm_bytes": peak_hbm(),
+                "live_hbm_bytes": live_hbm()}
 
     ratio = 0.05 if small else 0.0084
     cfg = SMTConfig(matrix_sparsity=True, full_ft_steps=1,
@@ -120,6 +136,8 @@ def run_phase(phase: str, small: bool) -> dict:
     return {"sec_per_step": sec, "opt_bytes": opt_bytes, "tokens": bsz * seq,
             "total_params": total_params,
             "trainable_params": trainer.plan.trainable_params,
+            "peak_hbm_bytes": peak_hbm(),
+            "live_hbm_bytes": live_hbm(),
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
 
@@ -161,6 +179,10 @@ def main():
             "opt_state_bytes_full_ft": full["opt_bytes"],
             "opt_state_bytes_smt": smt["opt_bytes"],
             "opt_state_ratio": round(smt["opt_bytes"] / full["opt_bytes"], 5),
+            "peak_hbm_bytes_full_ft": full.get("peak_hbm_bytes", 0),
+            "peak_hbm_bytes_smt": smt.get("peak_hbm_bytes", 0),
+            "live_hbm_bytes_full_ft": full.get("live_hbm_bytes", 0),
+            "live_hbm_bytes_smt": smt.get("live_hbm_bytes", 0),
             "trainable_fraction": round(
                 smt["trainable_params"] / smt["total_params"], 5),
             "platform": smt.get("platform"),

@@ -80,6 +80,11 @@ class SMTConfig:
     # attention implementation: "einsum" (reference-like masked softmax),
     # "flash" (fused Pallas kernel; TPU, right-padded causal only), "auto"
     attn_impl: str = "auto"
+    # loss implementation: "full" (materialise (B,S,V) fp32 logits),
+    # "chunked" (fused head+CE over vocab chunks, ops/loss.py), "auto"
+    # (chunked for real vocabularies, full for tiny test models)
+    loss_impl: str = "auto"
+    vocab_chunk: int = 4096
 
     # --- schedule / cadence -----------------------------------------------------
     eval_step: int = 30
@@ -116,6 +121,8 @@ class SMTConfig:
             raise ValueError(f"unknown sparse_impl {self.sparse_impl!r}")
         if self.attn_impl not in ("einsum", "flash", "auto"):
             raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
+        if self.loss_impl not in ("full", "chunked", "auto"):
+            raise ValueError(f"unknown loss_impl {self.loss_impl!r}")
 
     @property
     def sparse_remat(self) -> bool:

@@ -18,7 +18,7 @@ import subprocess
 import sys
 import sysconfig
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -12,9 +12,8 @@ padded up to a small set of static bucket lengths.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -19,9 +19,7 @@ padding waste; per-layer jax.checkpoint still bounds activation memory.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Mapping, Optional
 
 import jax
@@ -270,7 +268,8 @@ def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
             remat: bool = True,
             activation_taps: Optional[dict] = None,
             stop_grad_below_layer: Optional[int] = None,
-            attn_impl: str = "einsum") -> jax.Array:
+            attn_impl: str = "einsum",
+            return_hidden: bool = False) -> jax.Array:
     """Run the decoder; returns logits (B, S, V) in fp32.
 
     `linear(x, w, module_name, layer_idx)` is the linear dispatch hook — the
@@ -318,9 +317,15 @@ def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
                      linear, i, attn_impl)
 
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x  # pre-head states for the fused chunked-vocab loss
     head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.einsum("bsd,vd->bsv", x, head).astype(jnp.float32)
     return logits
+
+
+def lm_head_weight(params: Mapping[str, Any], cfg: LlamaConfig) -> jax.Array:
+    return params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
 
 
 # ---------------------------------------------------------------------------

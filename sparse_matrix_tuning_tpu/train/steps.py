@@ -21,16 +21,17 @@ smt.py:331-341).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 
 from sparse_matrix_tuning_tpu.config import SMTConfig
 from sparse_matrix_tuning_tpu.models.llama import (
-    ATTN_TARGETS, MLP_TARGETS, TARGET_MODULES, LlamaConfig, causal_lm_loss,
-    forward,
+    ATTN_TARGETS, TARGET_MODULES, LlamaConfig, causal_lm_loss,
+    forward, lm_head_weight,
 )
+from sparse_matrix_tuning_tpu.ops.loss import chunked_causal_lm_loss
 from sparse_matrix_tuning_tpu.ops.sparse_linear import make_sparse_linear_dispatch
 from sparse_matrix_tuning_tpu.smt.optimizer import (
     AdamConfig, adam_step, clip_by_global_norm, full_ft_wd_mask,
@@ -41,6 +42,33 @@ from sparse_matrix_tuning_tpu.smt.plan import SMTPlan
 
 def _cast_tree(tree, dtype):
     return jax.tree.map(lambda p: p.astype(dtype), tree)
+
+
+def _use_chunked_loss(cfg: SMTConfig, model_cfg: LlamaConfig) -> bool:
+    if cfg.loss_impl == "chunked":
+        return True
+    if cfg.loss_impl == "full":
+        return False
+    return model_cfg.vocab_size >= 16384  # "auto"
+
+
+def compute_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
+                 linear=None, remat=True, stop_grad_below_layer=None):
+    """Shared loss path for all steps: full logits + CE, or fused
+    chunked-vocab CE (ops/loss.py) per cfg.loss_impl."""
+    from sparse_matrix_tuning_tpu.models.llama import default_linear
+    linear = linear or default_linear
+    kw = dict(attention_mask=batch.get("attention_mask"), linear=linear,
+              remat=remat, stop_grad_below_layer=stop_grad_below_layer,
+              attn_impl=cfg.attn_impl)
+    if _use_chunked_loss(cfg, model_cfg):
+        hidden = forward(params, batch["input_ids"], model_cfg,
+                         return_hidden=True, **kw)
+        return chunked_causal_lm_loss(hidden, lm_head_weight(params, model_cfg),
+                                      batch["labels"], cfg.vocab_chunk)
+    logits = forward(params, batch["input_ids"], model_cfg, **kw)
+    return causal_lm_loss(logits, batch["labels"])
+
 
 
 # ---------------------------------------------------------------------------
@@ -100,11 +128,8 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
     def step(state: Dict, batch: Dict) -> tuple:
         def loss_of(master):
             params = _cast_tree(master, param_dtype)
-            logits = forward(params, batch["input_ids"], model_cfg,
-                             attention_mask=batch.get("attention_mask"),
-                             remat=cfg.gradient_checkpointing,
-                             attn_impl=cfg.attn_impl)
-            return causal_lm_loss(logits, batch["labels"])
+            return compute_loss(params, batch, cfg, model_cfg,
+                                remat=cfg.gradient_checkpointing)
 
         loss, grads = jax.value_and_grad(loss_of)(state["master"])
 
@@ -194,12 +219,9 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
 
         def loss_of(trainable):
             linear = make_sparse_linear_dispatch(plan, trainable, cfg.sparse_impl)
-            logits = forward(params, batch["input_ids"], model_cfg,
-                             attention_mask=batch.get("attention_mask"),
-                             linear=linear, remat=cfg.sparse_remat,
-                             stop_grad_below_layer=lowest_layer,
-                             attn_impl=cfg.attn_impl)
-            return causal_lm_loss(logits, batch["labels"])
+            return compute_loss(params, batch, cfg, model_cfg, linear=linear,
+                                remat=cfg.sparse_remat,
+                                stop_grad_below_layer=lowest_layer)
 
         loss, grads = jax.value_and_grad(loss_of)(state["trainable"])
         grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
@@ -238,10 +260,7 @@ def build_eval_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callable:
             params = _cast_tree(params["master"], param_dtype)
         elif "params" in params:
             params = params["params"]
-        logits = forward(params, batch["input_ids"], model_cfg,
-                         attention_mask=batch.get("attention_mask"),
-                         remat=cfg.gradient_checkpointing,
-                         attn_impl=cfg.attn_impl)
-        return causal_lm_loss(logits, batch["labels"])
+        return compute_loss(params, batch, cfg, model_cfg,
+                            remat=cfg.gradient_checkpointing)
 
     return step

@@ -1,0 +1,51 @@
+"""Chunked-vocab fused CE vs the full-logits loss: values and gradients."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_matrix_tuning_tpu.models.llama import causal_lm_loss
+from sparse_matrix_tuning_tpu.ops.loss import chunked_causal_lm_loss
+
+
+@pytest.mark.parametrize("v,chunk", [(1000, 256), (512, 512), (300, 128)])
+def test_chunked_matches_full(v, chunk):
+    rng = np.random.default_rng(0)
+    b, s, d = 2, 9, 16
+    hidden = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    head = jnp.asarray(rng.standard_normal((v, d)) * 0.2, jnp.float32)
+    labels = rng.integers(0, v, (b, s)).astype(np.int32)
+    labels[:, :3] = -100
+    labels = jnp.asarray(labels)
+
+    logits = jnp.einsum("bsd,vd->bsv", hidden, head).astype(jnp.float32)
+    want = causal_lm_loss(logits, labels)
+    got = chunked_causal_lm_loss(hidden, head, labels, chunk)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_chunked_gradients_match_full():
+    rng = np.random.default_rng(1)
+    b, s, d, v, chunk = 2, 7, 12, 640, 256
+    hidden = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    head = jnp.asarray(rng.standard_normal((v, d)) * 0.2, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, v, (b, s)).astype(np.int32))
+
+    def full(hid, hd):
+        logits = jnp.einsum("bsd,vd->bsv", hid, hd).astype(jnp.float32)
+        return causal_lm_loss(logits, labels)
+
+    def chunked(hid, hd):
+        return chunked_causal_lm_loss(hid, hd, labels, chunk)
+
+    gh_f, gw_f = jax.grad(full, argnums=(0, 1))(hidden, head)
+    gh_c, gw_c = jax.grad(chunked, argnums=(0, 1))(hidden, head)
+    np.testing.assert_allclose(np.asarray(gh_c), np.asarray(gh_f), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_f), rtol=2e-5, atol=1e-6)
+
+
+def test_all_ignored_labels():
+    hidden = jnp.zeros((1, 4, 8), jnp.float32)
+    head = jnp.zeros((100, 8), jnp.float32)
+    labels = jnp.full((1, 4), -100, jnp.int32)
+    assert float(chunked_causal_lm_loss(hidden, head, labels, 64)) == 0.0
