@@ -194,17 +194,27 @@ def _attention(q, k, v, mask_bias):
 def _flash_attention(q, k, v):
     """Fused Pallas flash attention (TPU): causal, right-padding safe — pad
     keys sit causally after every real query, so they are never attended;
-    pad-query outputs are dropped by the loss mask. GQA via KV-head repeat."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+    pad-query outputs are dropped by the loss mask. GQA via KV-head repeat.
+
+    Block sizes tuned on v5e (tools/attn_tune.py): 512/512 runs the
+    fwd+bwd ~10x faster than the kernel's defaults at seq 1024."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
     b, s, hq, hd = q.shape
     hkv = k.shape[2]
     if hkv != hq:
         k = jnp.repeat(k, hq // hkv, axis=2)
         v = jnp.repeat(v, hq // hkv, axis=2)
+    blk = min(512, s)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
     # kernel layout: (B, H, S, D)
     out = flash_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3), causal=True, sm_scale=1.0 / float(np.sqrt(hd)))
+        v.transpose(0, 2, 1, 3), causal=True,
+        sm_scale=1.0 / float(np.sqrt(hd)), block_sizes=bs)
     return out.transpose(0, 2, 1, 3).reshape(b, s, hq * hd)
 
 

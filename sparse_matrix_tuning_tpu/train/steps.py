@@ -52,6 +52,40 @@ def _use_chunked_loss(cfg: SMTConfig, model_cfg: LlamaConfig) -> bool:
     return model_cfg.vocab_size >= 16384  # "auto"
 
 
+def accumulated_value_and_grad(loss_of, batch, accum_steps: int):
+    """Microbatch gradient accumulation inside the jitted step (the
+    reference delegates this to the DeepSpeed engine's
+    gradient_accumulation_steps). The global batch's leading dim is split
+    into `accum_steps` microbatches scanned sequentially; returns the mean
+    loss and mean grads. NB: like DeepSpeed's engine, each microbatch loss
+    is mean-over-its-own-valid-tokens and microbatches are weighted
+    equally — identical to one big batch when valid-token counts match
+    per microbatch, and identical to the reference's semantics always."""
+    def vag(params, b):
+        return jax.value_and_grad(lambda p: loss_of(p, b))(params)
+
+    if accum_steps <= 1:
+        return vag
+
+    def accumulated(params, batch):
+        micro = jax.tree.map(
+            lambda x: x.reshape(accum_steps, -1, *x.shape[1:]), batch)
+
+        def body(carry, mb):
+            loss, grads = vag(params, mb)
+            acc_loss, acc_grads = carry
+            return (acc_loss + loss,
+                    jax.tree.map(jnp.add, acc_grads, grads)), None
+
+        zero = (jnp.zeros((), jnp.float32),
+                jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params))
+        (loss, grads), _ = jax.lax.scan(body, zero, micro)
+        inv = 1.0 / accum_steps
+        return loss * inv, jax.tree.map(lambda g: g * inv, grads)
+
+    return accumulated
+
+
 def compute_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
                  linear=None, remat=True, stop_grad_below_layer=None):
     """Shared loss path for all steps: full logits + CE, or fused
@@ -126,12 +160,14 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
     param_dtype = cfg.param_dtype
 
     def step(state: Dict, batch: Dict) -> tuple:
-        def loss_of(master):
+        def loss_of(master, mb):
             params = _cast_tree(master, param_dtype)
-            return compute_loss(params, batch, cfg, model_cfg,
+            return compute_loss(params, mb, cfg, model_cfg,
                                 remat=cfg.gradient_checkpointing)
 
-        loss, grads = jax.value_and_grad(loss_of)(state["master"])
+        vag = accumulated_value_and_grad(loss_of, batch,
+                                         cfg.gradient_accumulation_steps)
+        loss, grads = vag(state["master"], batch)
 
         new_state = dict(state)
         if "acc" in state:
@@ -217,13 +253,15 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
     def step(state: Dict, batch: Dict) -> tuple:
         params = state["params"]
 
-        def loss_of(trainable):
+        def loss_of(trainable, mb):
             linear = make_sparse_linear_dispatch(plan, trainable, cfg.sparse_impl)
-            return compute_loss(params, batch, cfg, model_cfg, linear=linear,
+            return compute_loss(params, mb, cfg, model_cfg, linear=linear,
                                 remat=cfg.sparse_remat,
                                 stop_grad_below_layer=lowest_layer)
 
-        loss, grads = jax.value_and_grad(loss_of)(state["trainable"])
+        vag = accumulated_value_and_grad(loss_of, batch,
+                                         cfg.gradient_accumulation_steps)
+        loss, grads = vag(state["trainable"], batch)
         grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
         lr = lr_sched(state["count"])
         opt_state = {"m": state["m"], "v": state["v"], "count": state["count"]}

@@ -163,7 +163,11 @@ class SMTTrainer:
 
         cfg = self.cfg
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
-        global_bs = cfg.per_device_ft_batch_size * n_dev
+        # effective batch = per-device x devices x accumulation
+        # (reference fine_tune.py:96-102); accumulation happens inside the
+        # jitted step (steps.accumulated_value_and_grad)
+        global_bs = (cfg.per_device_ft_batch_size * n_dev
+                     * cfg.gradient_accumulation_steps)
         eval_bs = cfg.per_device_eval_batch_size * n_dev
         steps_per_epoch = num_batches(len(train_ds), global_bs)
 
