@@ -45,6 +45,11 @@ def main(argv=None):
     tokenizer = load_hf_tokenizer(cfg.model_name_or_path, cfg.max_seq_len,
                                   cfg.add_eot_token)
     model_cfg = load_hf_config(cfg.model_name_or_path)
+    if cfg.dropout and cfg.dropout > 0:
+        # reference configure_dropout (deepspeed_helpers.py:577-583):
+        # Llama-family exposes attention_dropout
+        import dataclasses as _dc
+        model_cfg = _dc.replace(model_cfg, attention_dropout=cfg.dropout)
     params = load_hf_params(cfg.model_name_or_path, model_cfg,
                             dtype=cfg.param_dtype)
 

@@ -176,7 +176,8 @@ def default_linear(x: jax.Array, w: jax.Array, module: str, layer: int) -> jax.A
     return jnp.einsum("...i,oi->...o", x, w)
 
 
-def _attention(q, k, v, mask_bias):
+def _attention(q, k, v, mask_bias, dropout_rate: float = 0.0,
+               dropout_rng=None):
     """q: (B,S,Hq,hd); k/v: (B,S,Hkv,hd); GQA via head grouping.
     mask_bias: (B,1,S,S) additive fp32 bias (0 / -inf)."""
     b, s, hq, hd = q.shape
@@ -187,6 +188,7 @@ def _attention(q, k, v, mask_bias):
     scores = scores / np.sqrt(hd)
     scores = scores + mask_bias[:, :, None, :, :]  # (B,1,1,S,S) broadcast over kv-heads/groups
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    probs = _attn_dropout(probs, dropout_rate, dropout_rng)
     out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v)
     return out.reshape(b, s, hq * hd)
 
@@ -228,6 +230,16 @@ def resolve_attn_impl(attn_impl: str, seq_len: int, head_dim: int) -> str:
     return "einsum"
 
 
+def _attn_dropout(probs: jax.Array, rate: float, rng: Optional[jax.Array]):
+    """Attention-prob dropout (reference configure_dropout sets
+    attention_dropout on Llama configs, deepspeed_helpers.py:577-583).
+    Inverted scaling; active only when a train rng is supplied."""
+    if rate <= 0.0 or rng is None:
+        return probs
+    keep = jax.random.bernoulli(rng, 1.0 - rate, probs.shape)
+    return jnp.where(keep, probs / (1.0 - rate), 0.0).astype(probs.dtype)
+
+
 def _lin(lp: Mapping[str, jax.Array], h: jax.Array, name: str, linear,
          layer_idx: int) -> jax.Array:
     """Linear via the dispatch hook, plus bias when the checkpoint has one
@@ -242,7 +254,8 @@ def _lin(lp: Mapping[str, jax.Array], h: jax.Array, name: str, linear,
 
 def _decoder_layer(lp: Mapping[str, jax.Array], x: jax.Array, mask_bias, cos, sin,
                    cfg: LlamaConfig, linear, layer_idx: int,
-                   attn_impl: str = "einsum") -> jax.Array:
+                   attn_impl: str = "einsum",
+                   dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     b, s, d = x.shape
     h = _rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
     q = _lin(lp, h, "q_proj", linear, layer_idx)
@@ -254,10 +267,12 @@ def _decoder_layer(lp: Mapping[str, jax.Array], x: jax.Array, mask_bias, cos, si
     v = v.reshape(b, s, cfg.num_key_value_heads, hd)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    if attn_impl == "flash":
+    if attn_impl == "flash" and (cfg.attention_dropout <= 0 or dropout_rng is None):
         attn = _flash_attention(q, k, v)
     else:
-        attn = _attention(q, k, v, mask_bias)
+        attn = _attention(q, k, v, mask_bias,
+                          dropout_rate=cfg.attention_dropout,
+                          dropout_rng=dropout_rng)
     x = x + _lin(lp, attn, "o_proj", linear, layer_idx)
 
     h = _rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -279,7 +294,8 @@ def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
             activation_taps: Optional[dict] = None,
             stop_grad_below_layer: Optional[int] = None,
             attn_impl: str = "einsum",
-            return_hidden: bool = False) -> jax.Array:
+            return_hidden: bool = False,
+            dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """Run the decoder; returns logits (B, S, V) in fp32.
 
     `linear(x, w, module_name, layer_idx)` is the linear dispatch hook — the
@@ -323,8 +339,10 @@ def forward(params: Mapping[str, Any], input_ids: jax.Array, cfg: LlamaConfig,
     for i in range(cfg.num_hidden_layers):
         if stop_grad_below_layer is not None and i == stop_grad_below_layer:
             x = jax.lax.stop_gradient(x)
+        layer_rng = (jax.random.fold_in(dropout_rng, i)
+                     if dropout_rng is not None else None)
         x = layer_fn(params["layers"][str(i)], x, mask_bias, cos, sin, cfg,
-                     linear, i, attn_impl)
+                     linear, i, attn_impl, dropout_rng=layer_rng)
 
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if return_hidden:

@@ -87,14 +87,15 @@ def accumulated_value_and_grad(loss_of, batch, accum_steps: int):
 
 
 def compute_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
-                 linear=None, remat=True, stop_grad_below_layer=None):
+                 linear=None, remat=True, stop_grad_below_layer=None,
+                 dropout_rng=None):
     """Shared loss path for all steps: full logits + CE, or fused
     chunked-vocab CE (ops/loss.py) per cfg.loss_impl."""
     from sparse_matrix_tuning_tpu.models.llama import default_linear
     linear = linear or default_linear
     kw = dict(attention_mask=batch.get("attention_mask"), linear=linear,
               remat=remat, stop_grad_below_layer=stop_grad_below_layer,
-              attn_impl=cfg.attn_impl)
+              attn_impl=cfg.attn_impl, dropout_rng=dropout_rng)
     if _use_chunked_loss(cfg, model_cfg):
         hidden = forward(params, batch["input_ids"], model_cfg,
                          return_hidden=True, **kw)
@@ -159,11 +160,17 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
                           weight_decay=cfg.w_decay, grad_clip=cfg.grad_clip)
     param_dtype = cfg.param_dtype
 
+    base_rng = jax.random.PRNGKey(cfg.seed) if cfg.dropout > 0 else None
+
     def step(state: Dict, batch: Dict) -> tuple:
+        drng = (jax.random.fold_in(base_rng, state["step"])
+                if base_rng is not None else None)
+
         def loss_of(master, mb):
             params = _cast_tree(master, param_dtype)
             return compute_loss(params, mb, cfg, model_cfg,
-                                remat=cfg.gradient_checkpointing)
+                                remat=cfg.gradient_checkpointing,
+                                dropout_rng=drng)
 
         vag = accumulated_value_and_grad(loss_of, batch,
                                          cfg.gradient_accumulation_steps)
@@ -250,14 +257,19 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
     # torch-autograd parity: no backward below the lowest trainable layer
     lowest_layer = min(lp.layer for lp in plan.linears.values())
 
+    base_rng = jax.random.PRNGKey(cfg.seed + 1) if cfg.dropout > 0 else None
+
     def step(state: Dict, batch: Dict) -> tuple:
         params = state["params"]
+        drng = (jax.random.fold_in(base_rng, state["step"])
+                if base_rng is not None else None)
 
         def loss_of(trainable, mb):
             linear = make_sparse_linear_dispatch(plan, trainable, cfg.sparse_impl)
             return compute_loss(params, mb, cfg, model_cfg, linear=linear,
                                 remat=cfg.sparse_remat,
-                                stop_grad_below_layer=lowest_layer)
+                                stop_grad_below_layer=lowest_layer,
+                                dropout_rng=drng)
 
         vag = accumulated_value_and_grad(loss_of, batch,
                                          cfg.gradient_accumulation_steps)
