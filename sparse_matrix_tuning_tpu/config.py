@@ -102,6 +102,12 @@ class SMTConfig:
     # --- misc --------------------------------------------------------------------
     output_dir: Optional[str] = None
     seed: int = 1234
+    # capture a jax.profiler device trace of steps [profile_start,
+    # profile_start+profile_steps) into {profile_dir} (SURVEY §5.1: replaces
+    # the reference's disabled DeepSpeed flops_profiler block)
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
+    profile_steps: int = 3
     add_eot_token: bool = False
     resume_from: Optional[str] = None   # orbax checkpoint dir (capability the reference lacks)
 
@@ -206,6 +212,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="data fsdp tensor mesh dims; default = all devices on fsdp")
     p.add_argument("--seq_buckets", type=int, nargs="*", default=None)
     p.add_argument("--resume_from", type=str, default=None)
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--profile_start", type=int, default=10)
+    p.add_argument("--profile_steps", type=int, default=3)
     p.add_argument("--no_gradient_checkpointing", dest="gradient_checkpointing",
                    action="store_false")
     p.add_argument("--sparse_gradient_checkpointing", type=lambda s: s == "true",

@@ -204,6 +204,7 @@ class SMTTrainer:
                          f"Total Micro Batches {steps_per_epoch}")
             mean_loss, n_steps = 0.0, 0
             for batch in train_batches(epoch):
+                self._maybe_profile()
                 metrics = self.train_step(batch)
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):
@@ -270,6 +271,23 @@ class SMTTrainer:
             return self.state["params"]
         return jax.tree.map(lambda p: p.astype(self.cfg.param_dtype),
                             self.state["master"])
+
+    def _maybe_profile(self):
+        """jax.profiler device trace of a few steady-state steps
+        (--profile_dir; SURVEY §5.1)."""
+        cfg = self.cfg
+        if not cfg.profile_dir:
+            return
+        if self.step == cfg.profile_start and not getattr(self, "_profiling", False):
+            jax.profiler.start_trace(cfg.profile_dir)
+            self._profiling = True
+            print_rank_0(f"[profile] tracing steps {cfg.profile_start}.."
+                         f"{cfg.profile_start + cfg.profile_steps} -> {cfg.profile_dir}")
+        elif getattr(self, "_profiling", False) and \
+                self.step >= cfg.profile_start + cfg.profile_steps:
+            jax.block_until_ready(jax.tree.leaves(self.state)[0])
+            jax.profiler.stop_trace()
+            self._profiling = False
 
     def _save_resumable(self):
         """Orbax full-state checkpoint at {output_dir}/ckpt — what
