@@ -25,6 +25,10 @@ def main(argv=None):
     cfg = parse_args(argv)
 
     import jax
+    if os.environ.get("SMT_DISTRIBUTED") == "1":
+        # multi-host pod: one process per host, coordinator via the standard
+        # JAX env vars (replaces the deepspeed launcher's process group)
+        jax.distributed.initialize()
     from sparse_matrix_tuning_tpu.data.sft import make_supervised_data, num_batches
     from sparse_matrix_tuning_tpu.models.hf_io import (
         load_hf_config, load_hf_params, load_hf_tokenizer,
