@@ -73,7 +73,7 @@ def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
     real_len = attention_mask.sum(axis=-1).astype(jnp.int32)  # (B,)
     seen = jnp.zeros((batch, model_cfg.vocab_size), bool)
     seen = _scatter_seen(seen, input_ids)
-    return cache, slot_mask, positions, last_logits, real_len, seen, p_len, max_len
+    return cache, slot_mask, last_logits, real_len, seen, p_len
 
 
 # ---------------------------------------------------------------------------
@@ -84,8 +84,8 @@ def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
 def _greedy(params, model_cfg: LlamaConfig, input_ids, attention_mask,
             gen: GenerationConfig):
     b, p_len = input_ids.shape
-    (cache, slot_mask, _, last_logits, real_len, seen,
-     p_len, max_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
+    (cache, slot_mask, last_logits, real_len, seen,
+     p_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
 
     def body(carry, t):
         cache, slot_mask, last_logits, seen, finished = carry
@@ -121,8 +121,8 @@ def _beam(params, model_cfg: LlamaConfig, input_ids, attention_mask,
     def tile(x):  # (B, ...) -> (B*K, ...)
         return jnp.repeat(x, k, axis=0)
 
-    (cache, slot_mask, _, last_logits, real_len, seen,
-     p_len, max_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
+    (cache, slot_mask, last_logits, real_len, seen,
+     p_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
     cache = jax.tree.map(tile, cache)
     slot_mask = tile(slot_mask)
     last_logits = tile(last_logits)
