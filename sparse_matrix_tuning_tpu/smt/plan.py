@@ -141,12 +141,14 @@ class SMTPlan:
         for ks, lp in self.linears.items():
             w = layer_params[str(lp.layer)][lp.module]
             if self.mode == "matrix":
-                parts = [
-                    jax.lax.slice(w, (rb * BLOCK, cb * BLOCK),
-                                  (rb * BLOCK + BLOCK, cb * BLOCK + BLOCK))
-                    for rb, cb in lp.blocks
-                ]
-                out[ks] = jnp.stack(parts).astype(dtype)
+                # single vectorised gather over the (RB, 256, CB, 256) view
+                # (a per-block slice loop would emit thousands of ops at
+                # 70B-scale block counts)
+                w4 = w.reshape(lp.out_dim // BLOCK, BLOCK,
+                               lp.in_dim // BLOCK, BLOCK)
+                rb = jnp.asarray(lp.row_blocks())
+                cb = jnp.asarray(lp.col_blocks())
+                out[ks] = w4[rb, :, cb, :].astype(dtype)  # (n, 256, 256)
             else:
                 cols = jnp.asarray(np.array(lp.channels, dtype=np.int32))
                 out[ks] = jnp.take(w, cols, axis=1).astype(dtype)
@@ -163,8 +165,11 @@ class SMTPlan:
             w = new_layers[str(lp.layer)][lp.module]
             t = trainable[ks].astype(w.dtype)
             if self.mode == "matrix":
-                for i, (rb, cb) in enumerate(lp.blocks):
-                    w = jax.lax.dynamic_update_slice(w, t[i], (rb * BLOCK, cb * BLOCK))
+                w4 = w.reshape(lp.out_dim // BLOCK, BLOCK,
+                               lp.in_dim // BLOCK, BLOCK)
+                rb = jnp.asarray(lp.row_blocks())
+                cb = jnp.asarray(lp.col_blocks())
+                w = w4.at[rb, :, cb, :].set(t).reshape(w.shape)
             else:
                 cols = jnp.asarray(np.array(lp.channels, dtype=np.int32))
                 w = w.at[:, cols].set(t)
