@@ -64,7 +64,10 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     mesh = make_mesh(cfg.mesh_shape) if (n_dev > 1 or cfg.mesh_shape) else None
-    global_bs = cfg.per_device_ft_batch_size * n_dev
+    # must match trainer.fit's batch math: one optimizer step consumes
+    # per_device x devices x accumulation examples
+    global_bs = (cfg.per_device_ft_batch_size * n_dev
+                 * cfg.gradient_accumulation_steps)
     steps_per_epoch = num_batches(len(train_ds), global_bs)
     total_steps = cfg.num_ft_epochs * steps_per_epoch
 

@@ -198,12 +198,20 @@ class SMTTrainer:
                 return batch_iterator(train_ds, global_bs, pad_token_id,
                                       cfg.seq_buckets, cfg.seed, epoch)
 
+        # resume support: skip epochs/batches already consumed (the batch
+        # order is deterministic in (seed, epoch), so replay is exact)
+        start_epoch = min(self.step // steps_per_epoch, cfg.num_ft_epochs)
+        skip_in_epoch = self.step % steps_per_epoch if start_epoch < cfg.num_ft_epochs else 0
+
         stop = False
-        for epoch in range(cfg.num_ft_epochs):
+        for epoch in range(start_epoch, cfg.num_ft_epochs):
             print_rank_0(f"Beginning of Epoch {epoch + 1}/{cfg.num_ft_epochs}, "
                          f"Total Micro Batches {steps_per_epoch}")
             mean_loss, n_steps = 0.0, 0
-            for batch in train_batches(epoch):
+            to_skip, skip_in_epoch = skip_in_epoch, 0
+            for bi, batch in enumerate(train_batches(epoch)):
+                if bi < to_skip:
+                    continue
                 self._maybe_profile()
                 metrics = self.train_step(batch)
                 loss = float(metrics["loss"])
