@@ -256,6 +256,9 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
     lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
     # torch-autograd parity: no backward below the lowest trainable layer
     lowest_layer = min(lp.layer for lp in plan.linears.values())
+    from sparse_matrix_tuning_tpu.ops.sparse_linear import _resolve_impl
+    use_fused_adam = (plan.mode == "matrix"
+                      and _resolve_impl(cfg.sparse_impl) == "pallas")
 
     base_rng = jax.random.PRNGKey(cfg.seed + 1) if cfg.dropout > 0 else None
 
@@ -277,8 +280,13 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
         grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
         lr = lr_sched(state["count"])
         opt_state = {"m": state["m"], "v": state["v"], "count": state["count"]}
-        new_trainable, opt_state = adam_step(grads, opt_state, state["trainable"],
-                                             lr, adam_cfg, lr_scale=lr_scale)
+        if use_fused_adam:
+            new_trainable, opt_state = _fused_block_adam_update(
+                grads, opt_state, state["trainable"], lr, adam_cfg, lr_scale)
+        else:
+            new_trainable, opt_state = adam_step(grads, opt_state,
+                                                 state["trainable"], lr,
+                                                 adam_cfg, lr_scale=lr_scale)
         # scatter-at-update: dense weights absorb the new block values once
         # per step (donated buffers make this in-place)
         new_layers = plan.scatter(params["layers"], new_trainable)
@@ -294,6 +302,31 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
 
     return step
 
+
+
+
+def _fused_block_adam_update(grads, opt_state, trainable, lr, adam_cfg,
+                             lr_scale):
+    """Per-tensor fused Pallas Adam over the gathered (n, 256, 256) blocks
+    (ops/pallas/masked_adam.py) — the FusedAdam-equivalent native path."""
+    from sparse_matrix_tuning_tpu.ops.pallas.masked_adam import (
+        fused_block_adam_impl)
+    b1, b2 = adam_cfg.betas
+    count = opt_state["count"] + 1
+    c = count.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** c
+    bc2 = 1.0 - b2 ** c
+    new_p, new_m, new_v = {}, {}, {}
+    for ks in trainable:
+        klr = lr * (lr_scale(ks) if lr_scale is not None else 1.0)
+        scalars = jnp.stack([
+            jnp.asarray(klr, jnp.float32), jnp.float32(b1), jnp.float32(b2),
+            jnp.float32(adam_cfg.eps), jnp.float32(adam_cfg.weight_decay),
+            bc1, bc2])
+        new_p[ks], new_m[ks], new_v[ks] = fused_block_adam_impl(
+            trainable[ks], grads[ks], opt_state["m"][ks], opt_state["v"][ks],
+            scalars)
+    return new_p, {"m": new_m, "v": new_v, "count": count}
 
 # ---------------------------------------------------------------------------
 # Eval loss
