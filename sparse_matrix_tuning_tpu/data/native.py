@@ -128,11 +128,14 @@ class PrefetchLoader:
 
     def __iter__(self):
         it = self._factory()
+        error: list = []
 
         def worker():
             try:
                 for item in it:
                     self._q.put(item)
+            except BaseException as e:  # propagate to the consumer
+                error.append(e)
             finally:
                 self._q.put(self._DONE)
 
@@ -144,3 +147,5 @@ class PrefetchLoader:
                 break
             yield item
         self._thread.join()
+        if error:
+            raise error[0]

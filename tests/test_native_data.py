@@ -75,3 +75,16 @@ def test_prefetch_loader_order_preserved():
     assert len(fetched) == len(direct)
     for g, w in zip(fetched, direct):
         np.testing.assert_array_equal(g["input_ids"], w["input_ids"])
+
+
+def test_prefetch_loader_propagates_worker_errors():
+    def bad_iter():
+        yield {"input_ids": np.zeros((1, 4), np.int32)}
+        raise RuntimeError("tokenizer exploded")
+
+    loader = PrefetchLoader(lambda: bad_iter(), depth=2)
+    out = []
+    with pytest.raises(RuntimeError, match="tokenizer exploded"):
+        for b in loader:
+            out.append(b)
+    assert len(out) == 1  # items before the failure are delivered
