@@ -85,3 +85,15 @@ def test_channel_path_on_mesh():
     losses = [float(trainer.train_step(b)["loss"]) for b in make_batches(6, bsz=8)]
     assert trainer.phase == "sparse"
     assert np.isfinite(losses).all()
+
+
+def test_grad_accumulation_on_mesh():
+    mesh = make_mesh((2, 4, 1))
+    cfg = smt_cfg(gradient_accumulation_steps=2)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    trainer = SMTTrainer(cfg, CFG, params, total_steps=4, mesh=mesh)
+    losses = [float(trainer.train_step(b)["loss"])
+              for b in make_batches(4, bsz=16)]  # 2 micro x 8 devices x 1
+    assert trainer.phase == "sparse"
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
