@@ -139,8 +139,11 @@ def _beam(params, model_cfg: LlamaConfig, input_ids, attention_mask,
     def body(carry, t):
         cache, slot_mask, last_logits, seen, finished, beam_scores, emitted, gen_len = carry
 
-        logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
-        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (BK, V)
+        # HF beam search applies logits processors AFTER log_softmax (on the
+        # log-prob scores), unlike greedy which processes raw logits
+        logprobs = jax.nn.log_softmax(last_logits, axis=-1)  # (BK, V)
+        logprobs = _apply_repetition_penalty(logprobs, seen,
+                                             gen.repetition_penalty)
         v = logprobs.shape[-1]
         # finished beams: only pad continues, with zero added score
         pad_only = jnp.full((v,), NEG_INF).at[gen.pad_token_id].set(0.0)

@@ -94,3 +94,22 @@ def test_extract_answer_math():
     assert extract_answer("gsm8k", "= 1,234.5.") == "1234.5"
     assert extract_answer("SVAMP", "no numbers") == ""
     assert extract_answer("AQuA", "the answer is (c)") == "c"
+
+
+def test_beam4_with_repetition_penalty_matches_hf(hf_tiny):  # noqa: F811
+    """The exact reference eval decode config: beam-4 + rep penalty 1.1
+    (run_commonsense_parallel.py:257-265)."""
+    model, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids, mask = _left_padded_prompts(rng, lens=(5, 9, 7))
+
+    want = _hf_generate(model, ids, mask, max_new_tokens=8, num_beams=4,
+                        repetition_penalty=1.1)
+    gen = GenerationConfig(max_new_tokens=8, num_beams=4,
+                           repetition_penalty=1.1,
+                           eos_token_id=2, pad_token_id=0,
+                           cache_dtype="float32")
+    got = generate(params, cfg, ids, mask, gen)
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
