@@ -111,88 +111,11 @@ def _greedy(params, model_cfg: LlamaConfig, input_ids, attention_mask,
 # Beam search
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(1, 4))
 def _beam(params, model_cfg: LlamaConfig, input_ids, attention_mask,
           gen: GenerationConfig):
-    b, p_len = input_ids.shape
-    k = gen.num_beams
-    bk = b * k
-
-    def tile(x):  # (B, ...) -> (B*K, ...)
-        return jnp.repeat(x, k, axis=0)
-
-    (cache, slot_mask, last_logits, real_len, seen,
-     p_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
-    cache = jax.tree.map(tile, cache)
-    slot_mask = tile(slot_mask)
-    last_logits = tile(last_logits)
-    real_len = tile(real_len)
-    seen = tile(seen)
-
-    beam_scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b,))
-    emitted = jnp.full((bk, gen.max_new_tokens), gen.pad_token_id, jnp.int32)
-    gen_len = jnp.zeros((bk,), jnp.int32)  # tokens generated before finishing
-
-    def reorder(x, beam_idx_flat):
-        return jnp.take(x, beam_idx_flat, axis=0)
-
-    def body(carry, t):
-        cache, slot_mask, last_logits, seen, finished, beam_scores, emitted, gen_len = carry
-
-        # HF beam search applies logits processors AFTER log_softmax (on the
-        # log-prob scores), unlike greedy which processes raw logits
-        logprobs = jax.nn.log_softmax(last_logits, axis=-1)  # (BK, V)
-        logprobs = _apply_repetition_penalty(logprobs, seen,
-                                             gen.repetition_penalty)
-        v = logprobs.shape[-1]
-        # finished beams: only pad continues, with zero added score
-        pad_only = jnp.full((v,), NEG_INF).at[gen.pad_token_id].set(0.0)
-        logprobs = jnp.where(finished[:, None], pad_only[None, :], logprobs)
-
-        total = beam_scores[:, None] + logprobs            # (BK, V)
-        total = total.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(total, k)       # (B, K)
-        beam_idx = top_idx // v                             # source beam per slot
-        token = (top_idx % v).astype(jnp.int32)             # (B, K)
-
-        flat_beam = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)  # (BK,)
-        token_flat = token.reshape(-1)
-
-        cache = jax.tree.map(lambda x: reorder(x, flat_beam), cache)
-        slot_mask = reorder(slot_mask, flat_beam)
-        seen = reorder(seen, flat_beam)
-        finished = reorder(finished.reshape(-1), flat_beam)
-        emitted = reorder(emitted, flat_beam)
-        gen_len = reorder(gen_len, flat_beam)
-
-        emitted = emitted.at[:, t].set(jnp.where(finished, gen.pad_token_id, token_flat))
-        gen_len = jnp.where(finished, gen_len, gen_len + 1)
-        now_finished = finished | (token_flat == gen.eos_token_id)
-        beam_scores = top_scores.reshape(-1)
-
-        seen = _scatter_seen(seen, token_flat)
-        slot = p_len + t
-        slot_mask = slot_mask.at[:, slot].set((~finished).astype(jnp.int32))
-        positions = (real_len + t)[:, None]
-        new_logits, cache = forward_with_cache(
-            params, token_flat[:, None], model_cfg, cache, slot, slot_mask, positions)
-
-        carry = (cache, slot_mask, new_logits[:, -1, :], seen, now_finished,
-                 beam_scores, emitted, gen_len)
-        return carry, None
-
-    init = (cache, slot_mask, last_logits, seen, jnp.zeros((bk,), bool),
-            beam_scores, emitted, gen_len)
-    (cache, slot_mask, last_logits, seen, finished,
-     beam_scores, emitted, gen_len), _ = jax.lax.scan(
-        body, init, jnp.arange(gen.max_new_tokens))
-
-    # HF decoder-only convention: normalise by full sequence length
-    lengths = (real_len + jnp.maximum(gen_len, 1)).astype(jnp.float32)
-    norm_scores = (beam_scores / lengths ** gen.length_penalty).reshape(b, k)
-    best = jnp.argmax(norm_scores, axis=-1)  # (B,)
-    emitted = emitted.reshape(b, k, -1)
-    return jnp.take_along_axis(emitted, best[:, None, None], axis=1)[:, 0, :]
+    """Exact-HF BeamSearchScorer semantics — see eval/_beam_impl.py."""
+    from sparse_matrix_tuning_tpu.eval._beam_impl import beam_search
+    return beam_search(params, model_cfg, input_ids, attention_mask, gen)
 
 
 # ---------------------------------------------------------------------------

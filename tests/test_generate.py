@@ -113,3 +113,44 @@ def test_beam4_with_repetition_penalty_matches_hf(hf_tiny):  # noqa: F811
                            cache_dtype="float32")
     got = generate(params, cfg, ids, mask, gen)
     np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_beam_with_early_eos_matches_hf(hf_tiny):  # noqa: F811
+    """Force EOS to be competitive so beams finish at different times —
+    exercises the finished-hypothesis bookkeeping vs HF BeamSearchScorer."""
+    import torch
+    model, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+
+    # boost the EOS logit identically in both models
+    boost = np.zeros((cfg.vocab_size, cfg.hidden_size), np.float32)
+    boost[2] = np.asarray(params["norm"]) * 0.35  # correlates with hidden scale
+    params["lm_head"] = params["lm_head"] + jnp.asarray(boost)
+    model2 = model.__class__(model.config).eval()
+    model2.load_state_dict(model.state_dict())
+    with torch.no_grad():
+        model2.lm_head.weight += torch.tensor(boost)
+
+    rng = np.random.default_rng(4)
+    ids, mask = _left_padded_prompts(rng, n=4, lens=(5, 9, 7, 12), pmax=12)
+    want = _hf_generate(model2, ids, mask, max_new_tokens=10, num_beams=4,
+                        repetition_penalty=1.1)
+    gen = GenerationConfig(max_new_tokens=10, num_beams=4,
+                           repetition_penalty=1.1, eos_token_id=2,
+                           pad_token_id=0, cache_dtype="float32")
+    got = generate(params, cfg, ids, mask, gen)
+    # at least one sequence must actually finish early for the test to bite
+    assert (want == 2).any()
+
+    def upto_eos(row):
+        row = list(row)
+        return row[: row.index(2)] if 2 in row else row
+
+    # content up to EOS must match exactly; after EOS both emit only
+    # specials (HF pads finished rows with eos, we pad with pad — identical
+    # after skip_special_tokens decoding)
+    for g, w in zip(got, want):
+        assert upto_eos(g) == upto_eos(w)
+        tail = [t for t in g[len(upto_eos(g)):] if t not in (0, 2)]
+        assert tail == []
