@@ -11,7 +11,6 @@ read+write per state tensor per step.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
