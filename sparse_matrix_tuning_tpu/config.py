@@ -125,6 +125,12 @@ class SMTConfig:
             raise ValueError(f"unknown calculate_strategy {self.calculate_strategy!r}")
         if self.sparse_impl not in ("oracle", "pallas", "auto"):
             raise ValueError(f"unknown sparse_impl {self.sparse_impl!r}")
+        if self.dtype == "fp16":
+            import warnings
+            warnings.warn(
+                "dtype=fp16 has no dynamic loss scaling here (the reference "
+                "gets it from DeepSpeed); bf16 is the TPU-native choice",
+                stacklevel=2)
         if self.attn_impl not in ("einsum", "flash", "auto"):
             raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
         if self.loss_impl not in ("full", "chunked", "auto"):
@@ -217,6 +223,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_steps", type=int, default=3)
     p.add_argument("--no_gradient_checkpointing", dest="gradient_checkpointing",
                    action="store_false")
+    # drop-in compatibility with reference/deepspeed launcher flags: parsed
+    # and mapped or ignored (sharding over the mesh replaces ZeRO/offload)
+    p.add_argument("--local_rank", type=int, default=-1,
+                   help="ignored (JAX discovers devices itself)")
+    p.add_argument("--zero_stage", type=int, default=0,
+                   help="ignored: params/grads/opt-state always shard over "
+                        "the fsdp mesh axis (ZeRO-3 equivalent)")
+    p.add_argument("--offload", action="store_true",
+                   help="ignored: no CPU offload on TPU; use more chips "
+                        "(see PARITY.md D12)")
     p.add_argument("--sparse_gradient_checkpointing", type=lambda s: s == "true",
                    choices=[True, False], default=None, metavar="{true,false}",
                    help="override remat for the sparse phase only")
