@@ -31,3 +31,24 @@ __version__ = "0.1.0"
 BLOCK = 256  # SMT block dimension (reference deepspeed/smt/smt.py:22)
 
 from sparse_matrix_tuning_tpu.config import SMTConfig  # noqa: E402,F401
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import sparse_matrix_tuning_tpu` light)."""
+    lazy = {
+        "SMTTrainer": ("sparse_matrix_tuning_tpu.train.trainer", "SMTTrainer"),
+        "SMTPlan": ("sparse_matrix_tuning_tpu.smt.plan", "SMTPlan"),
+        "LlamaConfig": ("sparse_matrix_tuning_tpu.models.llama", "LlamaConfig"),
+        "load_hf_params": ("sparse_matrix_tuning_tpu.models.hf_io", "load_hf_params"),
+        "load_hf_config": ("sparse_matrix_tuning_tpu.models.hf_io", "load_hf_config"),
+        "load_hf_tokenizer": ("sparse_matrix_tuning_tpu.models.hf_io", "load_hf_tokenizer"),
+        "save_hf_format": ("sparse_matrix_tuning_tpu.models.hf_io", "save_hf_format"),
+        "generate": ("sparse_matrix_tuning_tpu.eval.generate", "generate"),
+        "GenerationConfig": ("sparse_matrix_tuning_tpu.eval.generate", "GenerationConfig"),
+        "make_mesh": ("sparse_matrix_tuning_tpu.parallel.mesh", "make_mesh"),
+    }
+    if name in lazy:
+        import importlib
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
