@@ -72,6 +72,17 @@ class SMTConfig:
     qk_scheduler: bool = False
     qk_lr_times: int = 2
     do_gradient_distribution_analysis: bool = False
+    # warm-up saliency accumulation (matrix path):
+    #   "grad_sum"       — reference-exact: accumulate the full fp32 grad sum
+    #                      and reduce blocks once at conversion
+    #                      (fine_tune.py:716-768 semantics); accumulator is
+    #                      weight-sized fp32.
+    #   "per_step_stats" — accumulate per-block reduced stats each step
+    #                      (score = sum_t stat(g_t) instead of stat(sum_t g_t));
+    #                      accumulator is (R/256, C/256) — ~65536x smaller,
+    #                      and less cancellation-prone for mean_abs. Not
+    #                      bit-compatible with the reference's selection.
+    saliency_accumulation: str = "grad_sum"
     # TPU-specific: which sparse-linear implementation to use after conversion.
     #   "oracle"  — dense matmul fwd + block-masked custom_vjp (numerics oracle)
     #   "pallas"  — Pallas gather-matmul grad-weight kernel (performance path)
@@ -123,6 +134,9 @@ class SMTConfig:
             raise ValueError(f"unknown selection_strategy {self.selection_strategy!r}")
         if self.calculate_strategy not in ("mean_abs", "abs_mean", "L1", "L2"):
             raise ValueError(f"unknown calculate_strategy {self.calculate_strategy!r}")
+        if self.saliency_accumulation not in ("grad_sum", "per_step_stats"):
+            raise ValueError(
+                f"unknown saliency_accumulation {self.saliency_accumulation!r}")
         if self.sparse_impl not in ("oracle", "pallas", "auto"):
             raise ValueError(f"unknown sparse_impl {self.sparse_impl!r}")
         if self.dtype == "fp16":
@@ -208,6 +222,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--calculate_strategy", type=str, default=d.calculate_strategy)
     p.add_argument("--no_limit_mixture", action="store_true")
     p.add_argument("--do_gradient_distribution_analysis", action="store_true")
+    p.add_argument("--saliency_accumulation", type=str, default=None,
+                   choices=["grad_sum", "per_step_stats"])
     p.add_argument("--smt_lr", type=float, default=d.smt_lr)
     # TPU-native additions
     p.add_argument("--sparse_impl", type=str, default=d.sparse_impl,

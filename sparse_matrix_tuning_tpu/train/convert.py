@@ -57,8 +57,13 @@ def compute_matrix_selection(cfg: SMTConfig, acc: Dict[str, jax.Array],
     n_attn = num_selected_blocks(cfg.downsample_attention_blocks_ratio, total_blocks)
     n_mlp = num_selected_blocks(cfg.downsample_mlp_blocks_ratio, total_blocks)
 
-    # device-side reduction to tiny per-block stats, then host top-k
+    # device-side reduction to tiny per-block stats, then host top-k.
+    # In per_step_stats mode the accumulators already hold the reduced
+    # stats (accumulated with the per-module strategy, incl. the attention
+    # mean_abs quirk), so the strategy argument is moot there.
     def stats_of(strategy):
+        if cfg.saliency_accumulation == "per_step_stats":
+            return {ks: np.asarray(g) for ks, g in acc.items()}
         return {ks: np.asarray(jax.jit(block_stats, static_argnums=(1,))(g, strategy))
                 for ks, g in acc.items()}
 

@@ -129,6 +129,8 @@ def init_warmup_state(master, cfg: SMTConfig) -> Dict:
                     # the reference would crash reshaping such a tensor
                     # (smt_helper.py:67); we exclude it from selection instead
                     continue
+                if cfg.saliency_accumulation == "per_step_stats":
+                    shape = (shape[0] // 256, shape[1] // 256)
                 acc[f"{li}.{mod}"] = jnp.zeros(shape, jnp.float32)
         state["acc"] = acc
     if cfg.channel_sparsity:
@@ -180,10 +182,25 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
         if "acc" in state:
             # saliency accumulates the UNCLIPPED averaged grad, as the
             # reference harvests before optimizer clipping (fine_tune.py:716)
-            new_state["acc"] = {
-                ks: state["acc"][ks] + _target_grad(grads, ks)
-                for ks in state["acc"]
-            }
+            if cfg.saliency_accumulation == "per_step_stats":
+                from sparse_matrix_tuning_tpu.smt.select import block_stats
+                from sparse_matrix_tuning_tpu.train.convert import (
+                    ATTENTION_CALCULATE_STRATEGY)
+
+                def per_step(ks):
+                    module = ks.split(".", 1)[1]
+                    strat = (cfg.calculate_strategy
+                             if (module not in ATTN_TARGETS or cfg.no_limit_mixture)
+                             else ATTENTION_CALCULATE_STRATEGY)
+                    return block_stats(_target_grad(grads, ks), strat)
+
+                new_state["acc"] = {ks: state["acc"][ks] + per_step(ks)
+                                    for ks in state["acc"]}
+            else:
+                new_state["acc"] = {
+                    ks: state["acc"][ks] + _target_grad(grads, ks)
+                    for ks in state["acc"]
+                }
 
         grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
         lr = lr_sched(state["step"])

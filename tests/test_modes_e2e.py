@@ -77,3 +77,28 @@ def test_seq_bucket_switching():
         m = trainer.train_step(b)
         assert np.isfinite(float(m["loss"]))
     assert trainer.phase == "sparse"
+
+
+def test_per_step_stats_saliency_mode():
+    """Low-memory accumulation: block-grid accumulators, same planted-block
+    selection, training proceeds."""
+    cfg = smt_cfg(saliency_accumulation="per_step_stats")
+    trainer, losses = run(cfg)
+    assert trainer.phase == "sparse"
+    assert np.isfinite(losses).all()
+    # accumulator in this mode is (R/256, C/256), so conversion worked from
+    # the reduced stats; selection must be deterministic across runs
+    t2, _ = run(cfg)
+    assert trainer.plan.fingerprint() == t2.plan.fingerprint()
+
+
+def test_per_step_stats_accumulator_is_tiny():
+    from sparse_matrix_tuning_tpu.train.steps import init_warmup_state
+    from sparse_matrix_tuning_tpu.models.llama import init_params as ip
+    cfg = smt_cfg(saliency_accumulation="per_step_stats")
+    state = init_warmup_state(ip(jax.random.PRNGKey(0), CFG), cfg)
+    # gate_proj is (512, 256) -> block grid (2, 1)
+    assert state["acc"]["0.gate_proj"].shape == (2, 1)
+    cfg2 = smt_cfg()
+    state2 = init_warmup_state(ip(jax.random.PRNGKey(0), CFG), cfg2)
+    assert state2["acc"]["0.gate_proj"].shape == (512, 256)
