@@ -97,3 +97,22 @@ def test_grad_accumulation_on_mesh():
     assert trainer.phase == "sparse"
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_channel_mesh_matches_single_device():
+    cfg_kw = dict(matrix_sparsity=False, channel_sparsity=True,
+                  num_attention_channel=8, num_mlp_channel=8)
+    batches = make_batches(5, bsz=8)
+
+    t_single = SMTTrainer(smt_cfg(**cfg_kw), CFG,
+                          init_params(jax.random.PRNGKey(0), CFG), total_steps=5)
+    single = [float(t_single.train_step(b)["loss"]) for b in batches]
+
+    mesh = make_mesh((2, 4, 1))
+    t_mesh = SMTTrainer(smt_cfg(**cfg_kw), CFG,
+                        init_params(jax.random.PRNGKey(0), CFG),
+                        total_steps=5, mesh=mesh)
+    meshed = [float(t_mesh.train_step(b)["loss"]) for b in batches]
+
+    assert t_single.plan.fingerprint() == t_mesh.plan.fingerprint()
+    np.testing.assert_allclose(single, meshed, rtol=2e-4, atol=2e-5)
