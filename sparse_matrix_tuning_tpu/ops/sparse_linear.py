@@ -83,14 +83,13 @@ def _block_grad_weight_xla(lp: LinearPlan, g2, x2):
     gathered row/col panels are formed with static slices and contracted in
     one batched MXU matmul.
     """
-    g_rows = jnp.stack([
-        jax.lax.slice_in_dim(g2, rb * BLOCK, (rb + 1) * BLOCK, axis=1)
-        for rb, _ in lp.blocks
-    ])  # (n, T, 256)
-    x_cols = jnp.stack([
-        jax.lax.slice_in_dim(x2, cb * BLOCK, (cb + 1) * BLOCK, axis=1)
-        for _, cb in lp.blocks
-    ])  # (n, T, 256)
+    t = g2.shape[0]
+    rb = jnp.asarray(lp.row_blocks())
+    cb = jnp.asarray(lp.col_blocks())
+    # single vectorised gathers (per-block slice loops would emit thousands
+    # of ops at large block counts)
+    g_rows = jnp.take(g2.reshape(t, -1, BLOCK), rb, axis=1).transpose(1, 0, 2)
+    x_cols = jnp.take(x2.reshape(t, -1, BLOCK), cb, axis=1).transpose(1, 0, 2)
     return jax.lax.dot_general(
         g_rows, x_cols,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
