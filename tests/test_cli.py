@@ -101,3 +101,25 @@ def test_eval_cli_on_export(tiny_hf_dir, tmp_path):
     assert preds.exists()
     assert len(preds.read_text().strip().splitlines()) == 4
     assert (tmp_path / "eval_out" / "summary.json").exists()
+
+
+def test_eval_cli_math_dataset(tiny_hf_dir, tmp_path):
+    from sparse_matrix_tuning_tpu.cli.run_commonsense import main
+    data_dir = tmp_path / "math"
+    (data_dir / "gsm8k").mkdir(parents=True)
+    examples = [{"instruction": f"What is {i}+{i}?", "answer": str(2 * i)}
+                for i in range(1, 4)]
+    (data_dir / "gsm8k" / "test.json").write_text(json.dumps(examples))
+
+    results = main([
+        "--model_name_or_path", tiny_hf_dir,
+        "--data_path", str(data_dir),
+        "--datasets", "gsm8k",
+        "--output_dir", str(tmp_path / "out"),
+        "--per_device_eval_batch_size", "3",
+        "--max_new_tokens", "8", "--num_beams", "1",
+        "--dtype", "fp32",
+    ])
+    assert "gsm8k" in results
+    preds = (tmp_path / "out" / "gsm8k" / "model_predictions.jsonl")
+    assert len(preds.read_text().strip().splitlines()) == 3
