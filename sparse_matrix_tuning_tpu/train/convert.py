@@ -93,6 +93,10 @@ def compute_matrix_selection(cfg: SMTConfig, acc: Dict[str, jax.Array],
 
 def compute_channel_selection(cfg: SMTConfig, act_acc: Dict[str, jax.Array]) -> Dict:
     def stats_of(strategy):
+        if cfg.saliency_accumulation == "per_step_stats":
+            # accumulators already hold per-channel stats (reduced with the
+            # per-module strategy at accumulation time)
+            return {ks: np.asarray(a) for ks, a in act_acc.items()}
         return {ks: np.asarray(jax.jit(channel_stats, static_argnums=(1,))(a, strategy))
                 for ks, a in act_acc.items()}
 

@@ -139,7 +139,14 @@ def init_warmup_state(master, cfg: SMTConfig) -> Dict:
             for mod in TARGET_MODULES:
                 if _wants_channel(cfg, mod):
                     in_dim = layer[mod].shape[1]
-                    act[f"{li}.{mod}"] = jnp.zeros((cfg.max_seq_len, in_dim), jnp.float32)
+                    if cfg.saliency_accumulation == "per_step_stats":
+                        # per-channel running stat instead of the (S, C)
+                        # positional |activation| sums (exact only for
+                        # mean_abs/abs_mean/L1; L2-of-sum needs positions)
+                        shape = (in_dim,)
+                    else:
+                        shape = (cfg.max_seq_len, in_dim)
+                    act[f"{li}.{mod}"] = jnp.zeros(shape, jnp.float32)
         state["act_acc"] = act
     return state
 
@@ -238,7 +245,17 @@ def build_channel_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callabl
 
         new_act = {}
         for ks, acc in state["act_acc"].items():
-            tap = taps[ks]  # (S_batch, in_dim)
+            tap = taps[ks]  # (S_batch, in_dim) batch-summed |activation|
+            if cfg.saliency_accumulation == "per_step_stats":
+                from sparse_matrix_tuning_tpu.smt.select import channel_stats
+                from sparse_matrix_tuning_tpu.train.convert import (
+                    ATTENTION_CALCULATE_STRATEGY)
+                module = ks.split(".", 1)[1]
+                strat = (cfg.calculate_strategy
+                         if (module not in ATTN_TARGETS or cfg.no_limit_mixture)
+                         else ATTENTION_CALCULATE_STRATEGY)
+                new_act[ks] = acc + channel_stats(tap, strat)  # (C,)
+                continue
             pad = acc.shape[0] - tap.shape[0]
             if pad > 0:
                 tap = jnp.pad(tap, ((0, pad), (0, 0)))

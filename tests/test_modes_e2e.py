@@ -102,3 +102,19 @@ def test_per_step_stats_accumulator_is_tiny():
     cfg2 = smt_cfg()
     state2 = init_warmup_state(ip(jax.random.PRNGKey(0), CFG), cfg2)
     assert state2["acc"]["0.gate_proj"].shape == (512, 256)
+
+
+def test_per_step_stats_channel_mode():
+    cfg = smt_cfg(matrix_sparsity=False, channel_sparsity=True,
+                  num_attention_channel=8, num_mlp_channel=8,
+                  saliency_accumulation="per_step_stats")
+    trainer, losses = run(cfg)
+    assert trainer.phase == "sparse" and trainer.plan.mode == "channel"
+    assert np.isfinite(losses).all()
+    t2, _ = run(cfg)
+    assert trainer.plan.fingerprint() == t2.plan.fingerprint()
+
+    # accumulator is (C,) in this mode
+    from sparse_matrix_tuning_tpu.train.steps import init_warmup_state
+    state = init_warmup_state(init_params(jax.random.PRNGKey(0), CFG), cfg)
+    assert state["act_acc"]["0.gate_proj"].shape == (256,)
