@@ -22,6 +22,7 @@ Baseline honesty notes:
 """
 
 import gc
+import os
 import json
 import subprocess
 import sys
@@ -70,8 +71,18 @@ def tree_bytes(tree):
     return sum(x.nbytes for x in jax.tree.leaves(tree))
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat bench/smoke runs skip
+    recompiling unchanged programs (~45s/run measured on the v5e tunnel)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SMT_JAX_CACHE", "/tmp/smt_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def run_phase(phase: str, small: bool) -> dict:
     import jax
+    enable_compilation_cache()
     if small:
         jax.config.update("jax_platforms", "cpu")
 

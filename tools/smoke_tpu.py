@@ -55,6 +55,8 @@ def build_data(path, n=600):
 
 
 def main():
+    from bench import enable_compilation_cache
+    enable_compilation_cache()
     from sparse_matrix_tuning_tpu.cli.fine_tune import main as ft_main
 
     work = tempfile.mkdtemp(prefix="smoke_")

@@ -30,6 +30,8 @@ def build_data(path, n=2000):
 
 
 def main():
+    from bench import enable_compilation_cache
+    enable_compilation_cache()
     from sparse_matrix_tuning_tpu.cli.fine_tune import main as ft_main
     from sparse_matrix_tuning_tpu.train.checkpoint import restore_checkpoint
 
