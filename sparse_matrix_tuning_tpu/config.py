@@ -82,7 +82,10 @@ class SMTConfig:
     #                      accumulator is (R/256, C/256) — ~65536x smaller,
     #                      and less cancellation-prone for mean_abs. Not
     #                      bit-compatible with the reference's selection.
-    saliency_accumulation: str = "grad_sum"
+    #   "auto"           — grad_sum while the accumulators fit (reference-
+    #                      exact), per_step_stats at scale (resolved against
+    #                      the actual model shapes in train/steps.py)
+    saliency_accumulation: str = "auto"
     # TPU-specific: which sparse-linear implementation to use after conversion.
     #   "oracle"  — dense matmul fwd + block-masked custom_vjp (numerics oracle)
     #   "pallas"  — Pallas gather-matmul grad-weight kernel (performance path)
@@ -134,7 +137,7 @@ class SMTConfig:
             raise ValueError(f"unknown selection_strategy {self.selection_strategy!r}")
         if self.calculate_strategy not in ("mean_abs", "abs_mean", "L1", "L2"):
             raise ValueError(f"unknown calculate_strategy {self.calculate_strategy!r}")
-        if self.saliency_accumulation not in ("grad_sum", "per_step_stats"):
+        if self.saliency_accumulation not in ("grad_sum", "per_step_stats", "auto"):
             raise ValueError(
                 f"unknown saliency_accumulation {self.saliency_accumulation!r}")
         if self.sparse_impl not in ("oracle", "pallas", "auto"):
@@ -223,7 +226,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_limit_mixture", action="store_true")
     p.add_argument("--do_gradient_distribution_analysis", action="store_true")
     p.add_argument("--saliency_accumulation", type=str, default=None,
-                   choices=["grad_sum", "per_step_stats"])
+                   choices=["grad_sum", "per_step_stats", "auto"])
     p.add_argument("--smt_lr", type=float, default=d.smt_lr)
     # TPU-native additions
     p.add_argument("--sparse_impl", type=str, default=d.sparse_impl,

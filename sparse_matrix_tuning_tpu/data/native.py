@@ -129,23 +129,43 @@ class PrefetchLoader:
     def __iter__(self):
         it = self._factory()
         error: list = []
+        stop = threading.Event()  # set when the consumer abandons iteration
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in it:
-                    self._q.put(item)
+                    if not put(item):
+                        return  # consumer gone; don't leak the thread
             except BaseException as e:  # propagate to the consumer
                 error.append(e)
             finally:
-                self._q.put(self._DONE)
+                put(self._DONE)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
-        while True:
-            item = self._q.get()
-            if item is self._DONE:
-                break
-            yield item
-        self._thread.join()
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._DONE:
+                    break
+                yield item
+        finally:
+            # normal exit, early break, or exception: release a blocked put
+            stop.set()
+            while True:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    break
+            self._thread.join()
         if error:
             raise error[0]

@@ -6,13 +6,12 @@ Replaces the reference's HF `model.generate` usage
 GenerationConfig(num_beams=4, do_sample=False, repetition_penalty=1.1)
 :257-265). Prompts are LEFT-padded as in the reference (:233).
 
-Beam-search parity notes (documented deltas from HF):
-  * finished beams stay in their slots emitting pad with frozen cumulative
-    score, instead of HF's separate finished-hypothesis heap;
-  * final selection normalises by (prompt_len + generated_len) **
-    length_penalty, HF's decoder-only convention.
-Both give identical results when beams finish at similar lengths; the
-answer-extraction regexes downstream are robust to the residual cases.
+Beam search (eval/_beam_impl.py) implements exact HF BeamSearchScorer
+semantics: a separate finished-hypothesis set per batch element, slot
+refill from the 2*K candidate pool after an EOS, the rank<K EOS gate, and
+length-penalty normalisation by (prompt_len + generated_len) **
+length_penalty (HF's decoder-only convention). Greedy/beam outputs match
+HF generate token-for-token on the parity tests (tests/test_generate.py).
 """
 
 from __future__ import annotations

@@ -75,6 +75,41 @@ def build_prompts(examples: Sequence[dict]) -> List[str]:
     return [EVAL_PROMPT.format_map(e) for e in examples]
 
 
+# -- multi-host completion exchange ------------------------------------------
+#
+# Replaces the reference's accelerate split_between_processes/gather_object
+# (run_commonsense_parallel.py:281-294). Completions are variable-length
+# strings, but JAX collectives need fixed shapes, so each host writes its
+# strided rows into a fixed-width utf-8 byte matrix, the matrix is
+# process_allgather'd, and the disjoint per-host rows are merged by
+# elementwise max (all other hosts contribute zeros).
+
+GATHER_ROW_BYTES = 8192  # >= max_new_tokens * max utf-8 bytes per token
+
+
+def _encode_rows(n_total: int, local_idx: Sequence[int],
+                 local_outputs: Sequence[str],
+                 width: int = GATHER_ROW_BYTES) -> np.ndarray:
+    buf = np.zeros((n_total, width), np.uint8)
+    for i, out in zip(local_idx, local_outputs):
+        b = out.encode("utf-8")[:width]
+        buf[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return buf
+
+
+def _decode_rows(buf: np.ndarray) -> List[str]:
+    return [bytes(row.tobytes()).rstrip(b"\x00").decode("utf-8", "replace")
+            for row in np.asarray(buf)]
+
+
+def _allgather_merge(buf: np.ndarray) -> np.ndarray:
+    from jax.experimental import multihost_utils
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    if gathered.ndim == buf.ndim + 1:  # stacked (P, N, W)
+        gathered = gathered.max(axis=0)
+    return gathered
+
+
 def run_dataset_eval(dataset: str, examples: Sequence[dict], generate_fn,
                      output_dir: Optional[str] = None) -> Dict:
     """generate_fn(prompts: List[str]) -> List[str] completions.
@@ -91,12 +126,10 @@ def run_dataset_eval(dataset: str, examples: Sequence[dict], generate_fn,
     local_outputs = generate_fn([prompts[i] for i in local_idx])
 
     if pcount > 1:
-        # object allgather is filesystem/RPC territory; out of scope for the
-        # single-host-per-slice deployments this round targets
-        raise NotImplementedError(
-            "multi-host generation eval requires a shared-filesystem "
-            "exchange; run single-host or shard datasets externally")
-    outputs = list(local_outputs)
+        buf = _encode_rows(len(prompts), local_idx, local_outputs)
+        outputs = _decode_rows(_allgather_merge(buf))
+    else:
+        outputs = list(local_outputs)
 
     correct = 0
     save_outputs = []

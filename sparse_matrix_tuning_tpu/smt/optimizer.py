@@ -130,7 +130,10 @@ def _unflatten(flat: Dict[str, jax.Array], like):
 # Param-group policies
 # ---------------------------------------------------------------------------
 
-NO_DECAY_MARKERS = ("norm", "bias", "embed_tokens")
+# Reference no-decay list is bias/layernorm/norm/ln_f only — embeddings DO
+# decay there, so they decay here too (ADVICE r1: embed_tokens was wrongly
+# excluded, silently deviating from the reference grouping under --w_decay).
+NO_DECAY_MARKERS = ("norm", "bias")
 
 
 def full_ft_wd_mask(key: str) -> bool:

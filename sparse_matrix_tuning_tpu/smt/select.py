@@ -119,18 +119,29 @@ def select_submatrices(
     if selection_strategy != "no_restriction":
         raise ValueError(f"unknown selection_strategy {selection_strategy!r}")
 
-    # Global top-n with the reference's heap total order:
-    # descending by (value, key, row, col) lexicographically.
-    candidates = []
-    for key, s in stats.items():
-        nr, nc = s.shape
-        for i in range(nr):
-            for j in range(nc):
-                candidates.append((float(s[i, j]), key, i, j))
-    candidates.sort(key=lambda t: (t[0], t[1], t[2], t[3]), reverse=True)
+    if not stats or n <= 0:
+        return {}
+    # Global top-n with the reference's heap total order: descending by
+    # (value, key, row, col) lexicographically. Vectorized (a Python loop
+    # over every block is minutes of host time at 70B scale): keys are
+    # ranked by their Python tuple sort order, then one global lexsort over
+    # (value, key_rank, row, col) reproduces the tuple comparison exactly
+    # (float32 -> float64 is order-preserving).
+    key_rank = {k: r for r, k in enumerate(sorted(stats))}
+    vals = np.concatenate([np.asarray(s, np.float64).reshape(-1) for s in stats.values()])
+    ranks = np.concatenate([np.full(s.size, key_rank[k], np.int64)
+                            for k, s in stats.items()])
+    rows = np.concatenate([np.repeat(np.arange(s.shape[0]), s.shape[1])
+                           for s in stats.values()])
+    cols = np.concatenate([np.tile(np.arange(s.shape[1]), s.shape[0])
+                           for s in stats.values()])
+    # ascending lexsort by (value, rank, row, col); every tuple is unique,
+    # so the reversal is the exact descending order
+    order = np.lexsort((cols, rows, ranks, vals))[::-1][:n]
+    keys = sorted(stats)
     out = defaultdict(list)
-    for _, key, i, j in candidates[:n]:
-        out[key].append((i, j))
+    for idx in order:
+        out[keys[ranks[idx]]].append((int(rows[idx]), int(cols[idx])))
     return dict(out)
 
 
@@ -153,14 +164,20 @@ def select_channels(
     if selection_strategy != "no_restriction":
         raise ValueError(f"unknown selection_strategy {selection_strategy!r}")
 
-    candidates = []
-    for key, s in stats.items():
-        for idx in range(s.size):
-            candidates.append((float(s[idx]), key, idx))
-    candidates.sort(key=lambda t: (t[0], t[1], t[2]), reverse=True)
+    if not stats or n <= 0:
+        return {}
+    # same vectorized global descending (value, key, idx) order as
+    # select_submatrices
+    key_rank = {k: r for r, k in enumerate(sorted(stats))}
+    vals = np.concatenate([np.asarray(s, np.float64).reshape(-1) for s in stats.values()])
+    ranks = np.concatenate([np.full(s.size, key_rank[k], np.int64)
+                            for k, s in stats.items()])
+    idxs = np.concatenate([np.arange(s.size) for s in stats.values()])
+    order = np.lexsort((idxs, ranks, vals))[::-1][:n]
+    keys = sorted(stats)
     out = defaultdict(list)
-    for _, key, idx in candidates[:n]:
-        out[key].append(idx)
+    for i in order:
+        out[keys[ranks[i]]].append(int(idxs[i]))
     return dict(out)
 
 

@@ -21,12 +21,16 @@ def _ckptr():
 
 
 def save_checkpoint(path: str, trainer) -> None:
-    """trainer: SMTTrainer. Writes {path}/state, plan.json, meta.json."""
-    if jax.process_index() != 0 and jax.process_count() > 1:
-        return
+    """trainer: SMTTrainer. Writes {path}/state, plan.json, meta.json.
+
+    The Orbax save of multi-host sharded arrays is a COLLECTIVE — every
+    process must call it (process 0 alone cannot serialize non-addressable
+    shards); only the small JSON sidecars are gated on process 0."""
     os.makedirs(path, exist_ok=True)
     _ckptr().save(os.path.join(os.path.abspath(path), "state"), trainer.state,
                   force=True)
+    if jax.process_index() != 0:
+        return
     meta = {"phase": trainer.phase, "step": trainer.step,
             "total_steps": trainer.total_steps,
             "best_eval_loss": trainer.best_eval_loss}

@@ -57,7 +57,7 @@ class SMTTrainer:
         self._channel_step = (self._jit(build_channel_warmup_step(cfg, model_cfg))
                               if cfg.channel_sparsity else None)
         self._sparse_step = None  # built at conversion
-        self._eval_step = jax.jit(build_eval_step(cfg, model_cfg))
+        self._eval_step = self._jit_eval(build_eval_step(cfg, model_cfg))
 
         self.history: Dict[str, list] = {"train_loss": [], "eval_loss": [], "ppl": []}
         self.best_eval_loss = float("inf")
@@ -68,6 +68,39 @@ class SMTTrainer:
     def _jit(self, fn):
         if self.mesh is None:
             return jax.jit(fn, donate_argnums=(0,))
+        if jax.process_count() == 1:
+            # Single process: pass the host batch straight into jit and
+            # constrain it to the batch sharding INSIDE the traced fn.
+            # (Committing the batch to NamedSharding(mesh, batch_pspec())
+            # before the call is numerically WRONG on the CPU backend with a
+            # 3D mesh: GSPMD propagation mis-reshards one operand of the
+            # first residual add, swapping (data, fsdp) shard groups —
+            # reproduced on jax 0.8.x with 8 virtual CPU devices, mesh
+            # (2,2,2); the in-jit constraint form compiles correctly.)
+            from sparse_matrix_tuning_tpu.parallel.mesh import batch_pspec
+            from jax.sharding import NamedSharding
+            batch_sh = NamedSharding(self.mesh, batch_pspec())
+
+            def wrapped(state, batch):
+                batch = jax.device_put(batch, {k: batch_sh for k in batch})
+                return fn(state, batch)
+
+            return jax.jit(wrapped, donate_argnums=(0,))
+
+        jfn = jax.jit(fn, donate_argnums=(0,))
+
+        def wrapped(state, batch):
+            return jfn(state, self._globalize_batch(batch))
+
+        return wrapped
+
+    def _jit_eval(self, fn):
+        """Like _jit but without state donation (eval keeps the state)."""
+        if self.mesh is None or jax.process_count() > 1:
+            jfn = jax.jit(fn)
+            if self.mesh is None:
+                return jfn
+            return lambda state, batch: jfn(state, self._globalize_batch(batch))
         from sparse_matrix_tuning_tpu.parallel.mesh import batch_pspec
         from jax.sharding import NamedSharding
         batch_sh = NamedSharding(self.mesh, batch_pspec())
@@ -76,7 +109,27 @@ class SMTTrainer:
             batch = jax.device_put(batch, {k: batch_sh for k in batch})
             return fn(state, batch)
 
-        return jax.jit(wrapped, donate_argnums=(0,))
+        return jax.jit(wrapped)
+
+    def _globalize_batch(self, batch):
+        """Host numpy batch -> global sharded arrays over the mesh
+        (multi-process path).
+
+        Every process builds the identical global batch (the batch iterator
+        is deterministic in (seed, epoch)), so each process hands XLA the
+        rows its addressable devices own — correct on a real multi-host pod,
+        where a whole-batch device_put would touch non-addressable devices
+        (the reference's DistributedSampler equivalent, fine_tune.py:133-147).
+        """
+        from sparse_matrix_tuning_tpu.parallel.mesh import batch_pspec
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(self.mesh, batch_pspec())
+        if jax.process_count() == 1:
+            return jax.device_put(batch, {k: sh for k in batch})
+        return {
+            k: jax.make_array_from_callback(v.shape, sh, lambda idx, v=v: v[idx])
+            for k, v in batch.items()
+        }
 
     def _place_state(self, plan_mode):
         if self.mesh is None:
@@ -145,7 +198,13 @@ class SMTTrainer:
         return metrics
 
     def evaluate(self, eval_batches: Iterable[Dict[str, np.ndarray]]):
-        """Mean eval loss + perplexity (reference helper.py:210-245)."""
+        """Mean eval loss + perplexity (reference helper.py:210-245).
+
+        Every process evaluates the same global batches (sharded over the
+        whole mesh), so the jit output is replicated-identical across hosts
+        — the global mean, with no explicit all-reduce needed (the
+        reference instead shards eval data per rank and get_all_reduce_means
+        the result, deepspeed_helpers.py:409-412)."""
         losses = []
         for batch in eval_batches:
             losses.append(self._eval_step(self.state, batch))
@@ -319,11 +378,20 @@ class SMTTrainer:
             f.write(json.dumps(rec) + "\n")
 
     def _save(self, tag: str, tokenizer=None):
-        if not self.cfg.output_dir or jax.process_index() != 0:
+        if not self.cfg.output_dir:
             return
         from sparse_matrix_tuning_tpu.models.hf_io import save_hf_format
+        params = self.merged_params()
+        if jax.process_count() > 1:
+            # collective: multi-host shards are not addressable from process
+            # 0, so EVERY process gathers before rank 0 writes (reference
+            # rank-0 save_hf_format, deepspeed_helpers.py:341-364)
+            from jax.experimental import multihost_utils
+            params = multihost_utils.process_allgather(params, tiled=True)
+        if jax.process_index() != 0:
+            return
         out = os.path.join(self.cfg.output_dir, tag)
-        save_hf_format(self.merged_params(), self.model_cfg, out, tokenizer)
+        save_hf_format(params, self.model_cfg, out, tokenizer)
         if self.plan is not None:
             with open(os.path.join(out, "smt_plan.json"), "w") as f:
                 f.write(self.plan.to_json())
