@@ -17,8 +17,13 @@ Baseline honesty notes:
     does (gradient_checkpointing_enable, fine_tune.py:192) and as is
     mandatory for 8B-class models; SMT's freed grad/optimizer memory is
     what buys the remat-free sparse phase.
-  * both phases use the same fused flash-attention forward, the same data,
-    the same loss; the only differences are what SMT changes.
+  * both phases use the same attention/loss implementations and the same
+    data; the differences are exactly what SMT changes: no grad/optimizer
+    state for frozen params, no remat, and (frozen_quant=auto -> int8 on
+    TPU, PARITY.md D17) int8 frozen-base matmuls — a capability full FT
+    structurally cannot use, since its weights change every step.
+  * model geometry is Llama-3-8B widths at reduced depth (see bench_cfg)
+    so the full-FT baseline physically fits the 16G chip.
 """
 
 import gc
@@ -35,12 +40,17 @@ def bench_cfg(small: bool):
     from sparse_matrix_tuning_tpu.models.llama import LlamaConfig
     if small:
         return LlamaConfig.tiny(vocab_size=512), 4, 64
-    # ~550M params: largest config whose full-FT (fp32 master+m+v) fits one
-    # 16G v5e chip so the baseline is measurable on the same hardware
+    # 8B-representative GEOMETRY (Llama-3-8B widths: h=4096, f=14336, GQA
+    # 32/8) at a depth whose full-FT state (fp32 master+m+v+grads ~ 18
+    # bytes/param) still fits one 16G v5e chip, so the baseline is
+    # measurable on the same hardware. Per-layer matmul economics — what
+    # the SMT-vs-full-FT ratio depends on — match the 8B target
+    # (BASELINE.json north star is stated at Llama-3-8B); depth only
+    # scales both phases equally. Embeddings tied to save HBM.
     cfg = LlamaConfig(
-        vocab_size=32000, hidden_size=1536, intermediate_size=4096,
-        num_hidden_layers=16, num_attention_heads=16, num_key_value_heads=8,
-        max_position_embeddings=2048,
+        vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=3, num_attention_heads=32, num_key_value_heads=8,
+        max_position_embeddings=2048, tie_word_embeddings=True,
     )
     return cfg, 8, 1024
 
@@ -55,14 +65,15 @@ def make_batch(model_cfg, bsz, seq):
 
 
 def time_steps(trainer, batch, warm=1, iters=3):
-    import jax
+    # sync via host transfer: block_until_ready can return early over the
+    # axon tunnel (observed: a 0.39s step "measured" at 0.0005s)
     for _ in range(warm):
         m = trainer.train_step(batch)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         m = trainer.train_step(batch)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     return (time.perf_counter() - t0) / iters
 
 
@@ -74,10 +85,9 @@ def tree_bytes(tree):
 def enable_compilation_cache():
     """Persistent XLA compilation cache: repeat bench/smoke runs skip
     recompiling unchanged programs (~45s/run measured on the v5e tunnel)."""
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("SMT_JAX_CACHE", "/tmp/smt_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sparse_matrix_tuning_tpu.utils.jax_cache import (
+        enable_compilation_cache as _enable)
+    _enable()
 
 
 def run_phase(phase: str, small: bool) -> dict:
@@ -186,6 +196,10 @@ def run_phase(phase: str, small: bool) -> dict:
 
         trainable = plan.gather(params["layers"])
         state = init_sparse_state(params, trainable, step=0)
+        from sparse_matrix_tuning_tpu.train.convert import (
+            build_qweights, resolve_frozen_quant)
+        if resolve_frozen_quant(cfg, plan.mode) == "int8":
+            state["q"] = build_qweights(params["layers"], plan)
         del params, trainable
         sched = make_lr_schedule("constant", 1e-5, 0, 100)
         step_fn = jax.jit(build_sparse_step(cfg, big, plan, sched),

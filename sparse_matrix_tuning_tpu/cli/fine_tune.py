@@ -36,8 +36,10 @@ def main(argv=None):
     from sparse_matrix_tuning_tpu.parallel.mesh import make_mesh
     from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
     from sparse_matrix_tuning_tpu.train.checkpoint import restore_checkpoint
+    from sparse_matrix_tuning_tpu.utils.jax_cache import enable_compilation_cache
     from sparse_matrix_tuning_tpu.utils.logging import print_rank_0, set_random_seed
 
+    enable_compilation_cache()
     set_random_seed(cfg.seed)
     print_rank_0(f"[config]\n{cfg.to_json()}")
 

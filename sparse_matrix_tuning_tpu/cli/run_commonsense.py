@@ -51,8 +51,10 @@ def main(argv=None):
     from sparse_matrix_tuning_tpu.models.hf_io import (
         load_hf_config, load_hf_params, load_hf_tokenizer,
     )
+    from sparse_matrix_tuning_tpu.utils.jax_cache import enable_compilation_cache
     from sparse_matrix_tuning_tpu.utils.logging import print_rank_0, set_random_seed
 
+    enable_compilation_cache()  # decode programs persist across eval runs
     set_random_seed(args.seed)
     model_cfg = load_hf_config(args.model_name_or_path)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32

@@ -94,6 +94,15 @@ class SMTConfig:
     # attention implementation: "einsum" (reference-like masked softmax),
     # "flash" (fused Pallas kernel; TPU, right-padded causal only), "auto"
     attn_impl: str = "auto"
+    # frozen-weight precision in the SPARSE phase (matrix mode):
+    #   "none" — bf16 frozen weights, reference-equivalent numerics
+    #   "int8" — frozen base quantized once to int8 (per-out-channel scales)
+    #            with exact block corrections; ~1.7x matmul speedup on v5e
+    #            at 8B widths (tools/int8_probe.py). Selected blocks see
+    #            zero quantization error; eval/export always use the exact
+    #            bf16 dense weights. QLoRA-style precedent (PARITY.md D13).
+    #   "auto" — int8 on TPU, none elsewhere
+    frozen_quant: str = "auto"
     # loss implementation: "full" (materialise (B,S,V) fp32 logits),
     # "chunked" (fused head+CE over vocab chunks, ops/loss.py), "auto"
     # (chunked for real vocabularies, full for tiny test models)
@@ -150,6 +159,8 @@ class SMTConfig:
                 stacklevel=2)
         if self.attn_impl not in ("einsum", "flash", "auto"):
             raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
+        if self.frozen_quant not in ("none", "int8", "auto"):
+            raise ValueError(f"unknown frozen_quant {self.frozen_quant!r}")
         if self.loss_impl not in ("full", "chunked", "auto"):
             raise ValueError(f"unknown loss_impl {self.loss_impl!r}")
 
@@ -233,6 +244,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["oracle", "pallas", "auto"])
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
                    choices=["einsum", "flash", "auto"])
+    p.add_argument("--frozen_quant", type=str, default=d.frozen_quant,
+                   choices=["none", "int8", "auto"])
     p.add_argument("--mesh_shape", type=int, nargs="*", default=None,
                    help="data fsdp tensor mesh dims; default = all devices on fsdp")
     p.add_argument("--seq_buckets", type=int, nargs="*", default=None)

@@ -20,7 +20,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from sparse_matrix_tuning_tpu.models.llama import LlamaConfig, forward_with_cache
+from sparse_matrix_tuning_tpu.models.llama import (
+    LlamaConfig, cache_batch_axis, forward_with_cache,
+)
 
 NEG_INF = -1.0e9
 
@@ -34,13 +36,16 @@ def beam_search(params, model_cfg: LlamaConfig, input_ids, attention_mask,
     b, p_len = input_ids.shape
     k = gen.num_beams
     bk = b * k
+    # KV-cache leaves carry batch on axis 0 (per-layer) or 1 (stacked scan
+    # layout, where axis 0 is the layer dim)
+    cax = cache_batch_axis(params)
 
     def tile(x):
         return jnp.repeat(x, k, axis=0)
 
     (cache, slot_mask, last_logits, real_len, seen,
      p_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
-    cache = jax.tree.map(tile, cache)
+    cache = jax.tree.map(lambda x: jnp.repeat(x, k, axis=cax), cache)
     slot_mask = tile(slot_mask)
     last_logits = tile(last_logits)
     real_len = tile(real_len)
@@ -96,7 +101,7 @@ def beam_search(params, model_cfg: LlamaConfig, input_ids, attention_mask,
 
         flat_beam = (jnp.arange(b)[:, None] * k + src).reshape(-1)
         token_flat = token.reshape(-1)
-        cache = jax.tree.map(lambda x: jnp.take(x, flat_beam, axis=0), cache)
+        cache = jax.tree.map(lambda x: jnp.take(x, flat_beam, axis=cax), cache)
         slot_mask = jnp.take(slot_mask, flat_beam, axis=0)
         seen = jnp.take(seen, flat_beam, axis=0)
         emitted = jnp.take(emitted, flat_beam, axis=0).at[:, t].set(token_flat)

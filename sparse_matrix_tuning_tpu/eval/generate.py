@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sparse_matrix_tuning_tpu.models.llama import (
-    LlamaConfig, forward_with_cache, init_cache,
+    LlamaConfig, forward_with_cache, init_cache, stack_layers,
 )
 
 NEG_INF = -1.0e9
@@ -62,7 +62,8 @@ def _scatter_seen(seen, tokens):
 def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
     p_len = input_ids.shape[1]
     max_len = p_len + gen.max_new_tokens
-    cache = init_cache(model_cfg, batch, max_len, dtype=jnp.dtype(gen.cache_dtype))
+    cache = init_cache(model_cfg, batch, max_len, dtype=jnp.dtype(gen.cache_dtype),
+                       stacked="layers_stacked" in params)
     slot_mask = jnp.zeros((batch, max_len), jnp.int32)
     slot_mask = jax.lax.dynamic_update_slice(slot_mask, attention_mask.astype(jnp.int32), (0, 0))
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
@@ -124,8 +125,20 @@ def _beam(params, model_cfg: LlamaConfig, input_ids, attention_mask,
 def generate(params, model_cfg: LlamaConfig, input_ids, attention_mask,
              gen: GenerationConfig) -> np.ndarray:
     """input_ids/attention_mask: LEFT-padded (B, P) int arrays.
-    Returns generated token ids (B, max_new_tokens), pad-filled after EOS."""
+    Returns generated token ids (B, max_new_tokens), pad-filled after EOS.
+
+    params may be the standard per-layer pytree or `stack_layers` output;
+    the stacked layout compiles one scan body instead of L unrolled layers
+    (use `prepare_decode_params` once per model, then call generate per
+    batch — the eval harness does this)."""
     input_ids = jnp.asarray(input_ids, jnp.int32)
     attention_mask = jnp.asarray(attention_mask, jnp.int32)
     fn = _greedy if gen.num_beams == 1 else _beam
     return np.asarray(fn(params, model_cfg, input_ids, attention_mask, gen))
+
+
+def prepare_decode_params(params, model_cfg: LlamaConfig):
+    """Stack per-layer params once for scan-over-layers decoding."""
+    if "layers_stacked" in params:
+        return params
+    return stack_layers(params, model_cfg)

@@ -361,16 +361,76 @@ def lm_head_weight(params: Mapping[str, Any], cfg: LlamaConfig) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: LlamaConfig, batch_size: int, max_len: int,
-               dtype=jnp.bfloat16) -> Dict[str, Dict[str, jax.Array]]:
-    """Per-layer K/V ring buffers (B, max_len, Hkv, hd)."""
+               dtype=jnp.bfloat16, stacked: bool = False):
+    """K/V ring buffers: per-layer dicts (B, max_len, Hkv, hd), or a single
+    stacked {"k"/"v": (L, B, max_len, Hkv, hd)} pair for the scan-over-layers
+    decode path."""
     hd = cfg.head_dim
+    shape = (batch_size, max_len, cfg.num_key_value_heads, hd)
+    if stacked:
+        full = (cfg.num_hidden_layers,) + shape
+        return {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
     return {
-        str(i): {
-            "k": jnp.zeros((batch_size, max_len, cfg.num_key_value_heads, hd), dtype),
-            "v": jnp.zeros((batch_size, max_len, cfg.num_key_value_heads, hd), dtype),
-        }
+        str(i): {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         for i in range(cfg.num_hidden_layers)
     }
+
+
+def stack_layers(params: Mapping[str, Any], cfg: LlamaConfig) -> Dict:
+    """Re-layout params for the scan-over-layers decode: per-layer dicts ->
+    one (L, ...) stacked tensor per module. One compiled scan body replaces
+    L unrolled layer bodies, cutting decode compile time ~Lx (the eval
+    harness compiles per prompt-length bucket; at 32-80 layers the unrolled
+    program is minutes per bucket)."""
+    layers = params["layers"]
+    n = cfg.num_hidden_layers
+    keys = layers["0"].keys()
+    stacked = {k: jnp.stack([layers[str(i)][k] for i in range(n)]) for k in keys}
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers_stacked"] = stacked
+    return out
+
+
+def cache_batch_axis(params: Mapping[str, Any]) -> int:
+    """Axis of the batch dim in KV-cache leaves (beam reorders along it)."""
+    return 1 if "layers_stacked" in params else 0
+
+
+def _cached_layer(lp, x, ck_old, cv_old, cache_index, mask_bias, cos, sin,
+                  cfg: LlamaConfig, linear, layer_idx: int):
+    """One decoder layer in incremental-decode form; returns (x, ck, cv)."""
+    b, s_new, _ = x.shape
+    h = _rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = _lin(lp, h, "q_proj", linear, layer_idx).reshape(
+        b, s_new, cfg.num_attention_heads, cfg.head_dim)
+    k = _lin(lp, h, "k_proj", linear, layer_idx).reshape(
+        b, s_new, cfg.num_key_value_heads, cfg.head_dim)
+    v = _lin(lp, h, "v_proj", linear, layer_idx).reshape(
+        b, s_new, cfg.num_key_value_heads, cfg.head_dim)
+    q = _apply_rope(q, cos, sin)
+    k = _apply_rope(k, cos, sin)
+
+    ck = jax.lax.dynamic_update_slice(
+        ck_old, k.astype(ck_old.dtype), (0, cache_index, 0, 0))
+    cv = jax.lax.dynamic_update_slice(
+        cv_old, v.astype(cv_old.dtype), (0, cache_index, 0, 0))
+
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    groups = hq // hkv
+    qg = q.reshape(b, s_new, hkv, groups, cfg.head_dim)
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", qg,
+                        ck.astype(q.dtype)).astype(jnp.float32)
+    scores = scores / np.sqrt(cfg.head_dim) + mask_bias[:, None, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    attn = jnp.einsum("bkgqs,bskd->bqkgd", probs, cv.astype(x.dtype))
+    attn = attn.reshape(b, s_new, hq * cfg.head_dim)
+    x = x + _lin(lp, attn, "o_proj", linear, layer_idx)
+
+    h = _rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = _lin(lp, h, "gate_proj", linear, layer_idx)
+    up = _lin(lp, h, "up_proj", linear, layer_idx)
+    x = x + _lin(lp, jax.nn.silu(gate) * up, "down_proj", linear, layer_idx)
+    return x, ck, cv
 
 
 def forward_with_cache(params: Mapping[str, Any], input_ids: jax.Array,
@@ -381,6 +441,10 @@ def forward_with_cache(params: Mapping[str, Any], input_ids: jax.Array,
     [cache_index, cache_index+S_new), attend over the whole cache gated by
     `slot_mask` (B, max_len; must already include the new tokens' slots),
     with RoPE at per-example `positions` (B, S_new). Returns (logits, cache).
+
+    Accepts either per-layer params (python loop; supports the `linear`
+    dispatch hook) or `stack_layers` output (single lax.scan body — one
+    layer's compile cost regardless of depth; dense linears only).
     """
     b, s_new = input_ids.shape
     max_len = slot_mask.shape[1]
@@ -394,41 +458,29 @@ def forward_with_cache(params: Mapping[str, Any], input_ids: jax.Array,
     keep = causal[None] & (slot_mask[:, None, :] > 0)
     mask_bias = jnp.where(keep, 0.0, jnp.finfo(jnp.float32).min)  # (B, S_new, max_len)
 
-    new_cache = {}
-    for i in range(cfg.num_hidden_layers):
-        li = str(i)
-        lp = params["layers"][li]
-        h = _rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = linear(h, lp["q_proj"], "q_proj", i).reshape(
-            b, s_new, cfg.num_attention_heads, cfg.head_dim)
-        k = linear(h, lp["k_proj"], "k_proj", i).reshape(
-            b, s_new, cfg.num_key_value_heads, cfg.head_dim)
-        v = linear(h, lp["v_proj"], "v_proj", i).reshape(
-            b, s_new, cfg.num_key_value_heads, cfg.head_dim)
-        q = _apply_rope(q, cos, sin)
-        k = _apply_rope(k, cos, sin)
+    if "layers_stacked" in params:
+        assert linear is default_linear, \
+            "scan-over-layers decode supports dense linears only"
 
-        ck = jax.lax.dynamic_update_slice(
-            cache[li]["k"], k.astype(cache[li]["k"].dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cache[li]["v"], v.astype(cache[li]["v"].dtype), (0, cache_index, 0, 0))
-        new_cache[li] = {"k": ck, "v": cv}
+        def body(x, scanned):
+            lp, ck_old, cv_old = scanned
+            x, ck, cv = _cached_layer(lp, x, ck_old, cv_old, cache_index,
+                                      mask_bias, cos, sin, cfg,
+                                      default_linear, 0)
+            return x, (ck, cv)
 
-        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
-        groups = hq // hkv
-        qg = q.reshape(b, s_new, hkv, groups, cfg.head_dim)
-        scores = jnp.einsum("bqkgd,bskd->bkgqs", qg,
-                            ck.astype(q.dtype)).astype(jnp.float32)
-        scores = scores / np.sqrt(cfg.head_dim) + mask_bias[:, None, None, :, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bkgqs,bskd->bqkgd", probs, cv.astype(x.dtype))
-        attn = attn.reshape(b, s_new, hq * cfg.head_dim)
-        x = x + linear(attn, lp["o_proj"], "o_proj", i)
-
-        h = _rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        gate = linear(h, lp["gate_proj"], "gate_proj", i)
-        up = linear(h, lp["up_proj"], "up_proj", i)
-        x = x + linear(jax.nn.silu(gate) * up, lp["down_proj"], "down_proj", i)
+        x, (nk, nv) = jax.lax.scan(
+            body, x, (params["layers_stacked"], cache["k"], cache["v"]))
+        new_cache = {"k": nk, "v": nv}
+    else:
+        new_cache = {}
+        for i in range(cfg.num_hidden_layers):
+            li = str(i)
+            x, ck, cv = _cached_layer(params["layers"][li], x,
+                                      cache[li]["k"], cache[li]["v"],
+                                      cache_index, mask_bias, cos, sin, cfg,
+                                      linear, i)
+            new_cache[li] = {"k": ck, "v": cv}
 
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]

@@ -110,6 +110,152 @@ def smt_linear(x, blocks, w, lp: LinearPlan, impl: str = "oracle"):
 
 
 # ---------------------------------------------------------------------------
+# Matrix sparsity over an int8 frozen base (TPU fast path)
+# ---------------------------------------------------------------------------
+#
+# After conversion the dense weight is FROZEN except for the selected
+# blocks, so it is quantized once to int8 (ops/quant.py) and the sparse
+# phase computes
+#
+#   y      = q8(x) @ Wq.T * sx * sw  +  sum_j  x[:, cb_j] @ delta_j.T
+#   grad_x = q8(g*sw) @ Wq * sg      +  sum_j  g[:, rb_j] @ delta_j
+#   delta_j = blocks_j - base_j,   base_j = dequant(Wq)[rb_j, cb_j]  (static)
+#
+# The correction term makes the SELECTED blocks see zero quantization error
+# (W_eff[rb,cb] = base + blocks - base = blocks exactly); only the frozen
+# 99% carries int8 noise, computed on the MXU's 2x int8 path (~1.7x
+# measured at 8B widths, tools/int8_probe.py). grad_blocks is the same
+# exact bf16 formula as the bf16 path. No reference analogue (the
+# reference's frozen weights stay fp16/bf16, smt.py:366); precedent for
+# training through a quantized frozen base: QLoRA (4-bit + LoRA).
+
+def _zero_cotangent(x):
+    """Cotangent for a frozen primal: float0 for int dtypes (jax's tangent
+    type for integers), zeros otherwise. Both are DCE'd — the trainer only
+    differentiates w.r.t. the trainable blocks."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return jnp.zeros_like(x)
+
+
+@lru_cache(maxsize=None)
+def _block_groups(blocks: tuple, by: str):
+    """Group block indices by unique row-block ("r") / col-block ("c"):
+    {group_id: (block_positions tuple, other_coord tuple)}. Static per plan;
+    lets the correction run as ONE matmul + one contiguous slice-add per
+    group instead of an XLA scatter (scatters serialize on TPU and were
+    eating the whole q8 win — ~1.5ms/linear measured)."""
+    groups: dict = {}
+    for j, (r, c) in enumerate(blocks):
+        key, other = (r, c) if by == "r" else (c, r)
+        groups.setdefault(key, ([], []))
+        groups[key][0].append(j)
+        groups[key][1].append(other)
+    return {k: (tuple(v[0]), tuple(v[1])) for k, v in sorted(groups.items())}
+
+
+def _grouped_correction(out2, other2, delta, blocks: tuple, by: str,
+                        transpose_delta: bool):
+    """out2[:, G*256:(G+1)*256] += sum_j other2[:, o_j*256:+256] @ D_j for
+    each block j in group G, where D_j = delta[j].T (forward, by="r") or
+    delta[j] (grad_input, by="c"). All indices static."""
+    for gid, (js, others) in _block_groups(blocks, by).items():
+        parts = [jax.lax.slice_in_dim(other2, o * BLOCK, (o + 1) * BLOCK, axis=1)
+                 for o in others]
+        src = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        dg = delta[jnp.asarray(js)]                    # (k, 256, 256)
+        if transpose_delta:
+            dg = dg.transpose(0, 2, 1)                 # rows of W -> per-col
+        wgt = dg.reshape(-1, BLOCK)                    # (k*256, 256)
+        corr = jax.lax.dot_general(
+            src, wgt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (T, 256)
+        sl = jax.lax.slice_in_dim(out2, gid * BLOCK, (gid + 1) * BLOCK, axis=1)
+        upd = (sl.astype(jnp.float32) + corr).astype(out2.dtype)
+        out2 = jax.lax.dynamic_update_slice_in_dim(out2, upd, gid * BLOCK, axis=1)
+    return out2
+
+
+def _q8_forward(lp: LinearPlan, x, blocks, wq, sw, base_blocks):
+    from sparse_matrix_tuning_tpu.ops.quant import q8_matmul_t
+    y = q8_matmul_t(x, wq, sw)                      # (..., O)
+    delta = (blocks - base_blocks).astype(x.dtype)  # (n, 256, 256)
+    t_shape = x.shape[:-1]
+    x2 = x.reshape(-1, lp.in_dim)
+    y2 = y.reshape(-1, lp.out_dim)
+    # y[:, rb] += x[:, cb] @ delta.T, grouped by unique rb
+    y2 = _grouped_correction(y2, x2, delta, lp.blocks, by="r",
+                             transpose_delta=True)
+    return y2.reshape(*t_shape, lp.out_dim)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _smt_linear_q8(lp: LinearPlan, impl: str, x, blocks, wq, sw, base_blocks):
+    del impl
+    return _q8_forward(lp, x, blocks, wq, sw, base_blocks)
+
+
+def _smt_linear_q8_fwd(lp, impl, x, blocks, wq, sw, base_blocks):
+    y = _q8_forward(lp, x, blocks, wq, sw, base_blocks)
+    delta = (blocks - base_blocks).astype(x.dtype)
+    res = (x, wq, sw, delta, jnp.zeros((0,), blocks.dtype))
+    return y, res
+
+
+def _smt_linear_q8_bwd(lp: LinearPlan, impl: str, res, g):
+    from sparse_matrix_tuning_tpu.ops.quant import q8_matmul
+    x, wq, sw, delta, dtype_probe = res
+    g2 = g.reshape(-1, lp.out_dim)
+    x2 = x.reshape(-1, lp.in_dim)
+
+    grad_x = q8_matmul(g2, wq, sw)                  # (T, I)
+    # grad_x[:, cb] += g[:, rb] @ delta, grouped by unique cb
+    grad_x = _grouped_correction(grad_x, g2, delta, lp.blocks, by="c",
+                                 transpose_delta=False).reshape(x.shape)
+
+    if _resolve_impl(impl) == "pallas":
+        from sparse_matrix_tuning_tpu.ops.pallas.block_grad import block_grad_weight
+        grad_blocks = block_grad_weight(g2, x2, lp.row_blocks(), lp.col_blocks())
+    else:
+        grad_blocks = _block_grad_weight_xla(lp, g2, x2)
+    return (grad_x, grad_blocks.astype(dtype_probe.dtype),
+            _zero_cotangent(wq), jnp.zeros_like(sw),
+            jnp.zeros((len(lp.blocks), BLOCK, BLOCK), dtype_probe.dtype))
+
+
+_smt_linear_q8.defvjp(_smt_linear_q8_fwd, _smt_linear_q8_bwd)
+
+
+def smt_linear_q8(x, blocks, wq, sw, base_blocks, lp: LinearPlan,
+                  impl: str = "auto"):
+    """Block-sparse linear over an int8 frozen base (see module notes)."""
+    return _smt_linear_q8(lp, impl, x, blocks, wq, sw, base_blocks)
+
+
+@jax.custom_vjp
+def frozen_q8_linear(x, wq, sw):
+    """y = x @ dequant(Wq).T for a fully-frozen linear (no selected blocks,
+    e.g. o_proj): int8 forward, int8 grad_input, no weight grad. The
+    straight-through custom_vjp is required — autodiff through round/clip
+    would yield zero input gradients."""
+    from sparse_matrix_tuning_tpu.ops.quant import q8_matmul_t
+    return q8_matmul_t(x, wq, sw)
+
+
+def _frozen_q8_fwd(x, wq, sw):
+    return frozen_q8_linear(x, wq, sw), (wq, sw)
+
+
+def _frozen_q8_bwd(res, g):
+    from sparse_matrix_tuning_tpu.ops.quant import q8_matmul
+    wq, sw = res
+    return q8_matmul(g, wq, sw), _zero_cotangent(wq), jnp.zeros_like(sw)
+
+
+frozen_q8_linear.defvjp(_frozen_q8_fwd, _frozen_q8_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Channel sparsity
 # ---------------------------------------------------------------------------
 
@@ -163,16 +309,26 @@ def smt_channel_linear(x, cols, w, lp: LinearPlan, impl: str = "oracle"):
 # ---------------------------------------------------------------------------
 
 def make_sparse_linear_dispatch(plan, trainable: Mapping[str, jax.Array],
-                                impl: str = "auto"):
+                                impl: str = "auto", qweights=None):
     """Build the `linear(x, w, module, layer)` hook for models.llama.forward:
     planned linears compute through the sparse custom_vjp, everything else
-    is a plain dense matmul."""
+    is a plain dense matmul.
+
+    qweights (int8 frozen-base mode, matrix only): {"{layer}.{module}":
+    {"wq", "sw"[, "base"]}} for every layer linear; planned linears use the
+    block-corrected q8 path, unplanned frozen ones the plain q8 path."""
     def linear(x, w, module: str, layer_idx: int):
         ks = key_str(module, layer_idx)
         lp = plan.linears.get(ks)
+        qw = qweights.get(ks) if qweights is not None else None
         if lp is None:
+            if qw is not None:
+                return frozen_q8_linear(x, qw["wq"], qw["sw"])
             return jnp.einsum("...i,oi->...o", x, w)
         if plan.mode == "matrix":
+            if qw is not None:
+                return smt_linear_q8(x, trainable[ks], qw["wq"], qw["sw"],
+                                     qw["base"], lp, impl)
             return smt_linear(x, trainable[ks], w, lp, impl)
         return smt_channel_linear(x, trainable[ks], w, lp, impl)
     return linear

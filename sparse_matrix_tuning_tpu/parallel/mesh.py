@@ -148,6 +148,15 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
             return P(None, "tensor")
         if top == "trainable":
             return trainable_pspec(plan_mode) if plan_mode else P()
+        if top == "q":
+            # frozen int8 base: {ks: {"wq" (O,I), "sw" (O,), "base" (n,256,256)}}
+            _, module = keys[1].split(".", 1)
+            field = keys[2]
+            if field == "wq":
+                return _weight_pspec(module)
+            if field == "sw":  # indexed by the weight's OUT dim
+                return P(_weight_pspec(module)[0])
+            return trainable_pspec("matrix")  # base blocks
         return P()
 
     def _param_leaf_spec(sub):

@@ -59,11 +59,17 @@ def restore_checkpoint(path: str, trainer) -> None:
     template = jax.tree.map(lambda x: x, trainer.state)
     if meta["phase"] == "sparse" and trainer.phase == "warmup":
         # build a structural template for the sparse state
+        from sparse_matrix_tuning_tpu.train.convert import (
+            build_qweights, resolve_frozen_quant)
         from sparse_matrix_tuning_tpu.train.steps import init_sparse_state
         master = trainer.state["master"]
         params = jax.tree.map(lambda p: p.astype(trainer.cfg.param_dtype), master)
         trainable = plan.gather(master["layers"])
         template = init_sparse_state(params, trainable, step=0)
+        # NB: frozen_quant="auto" resolves by platform, so a checkpoint must
+        # be restored on the same backend class it was written on
+        if resolve_frozen_quant(trainer.cfg, plan.mode) == "int8":
+            template["q"] = build_qweights(master["layers"], plan)
 
     restored = _ckptr().restore(os.path.join(os.path.abspath(path), "state"),
                                 item=template)

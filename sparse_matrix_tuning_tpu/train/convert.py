@@ -40,6 +40,51 @@ from sparse_matrix_tuning_tpu.smt.select import (
 
 ATTENTION_CALCULATE_STRATEGY = "mean_abs"  # reference default-arg quirk
 
+# every per-layer matmul that is frozen (or mostly frozen) after conversion
+LAYER_LINEARS = ATTN_TARGETS + ("o_proj",) + MLP_TARGETS
+
+
+def resolve_frozen_quant(cfg: SMTConfig, mode: str) -> str:
+    """frozen_quant="auto" -> int8 on TPU backends for the matrix path
+    (measured ~1.7x on the sparse-phase matmuls at 8B widths,
+    tools/int8_probe.py), exact bf16 elsewhere. Channel mode always runs
+    unquantized (its selected columns are not block-correctable)."""
+    if mode != "matrix":
+        return "none"
+    if cfg.frozen_quant != "auto":
+        return cfg.frozen_quant
+    return "int8" if jax.devices()[0].platform == "tpu" else "none"
+
+
+def build_qweights(layer_params, plan: SMTPlan) -> Dict:
+    """Quantize every frozen layer linear once: {'{layer}.{module}':
+    {"wq" int8 (O,I), "sw" fp32 (O,)[, "base" fp32 (n,256,256)]}}.
+
+    "base" (planned linears only) holds the dequantized frozen values of
+    the selected blocks, so the sparse linear can apply the exact
+    correction delta = blocks - base (ops/sparse_linear.py q8 notes)."""
+    from sparse_matrix_tuning_tpu.ops.quant import quantize_weight
+
+    q: Dict = {}
+    for li, layer in layer_params.items():
+        for mod in LAYER_LINEARS:
+            w = layer.get(mod)
+            if w is None or getattr(w, "ndim", 0) != 2:
+                continue
+            ks = f"{li}.{mod}"
+            wq, sw = quantize_weight(w)
+            entry = {"wq": wq, "sw": sw}
+            lp = plan.linears.get(ks)
+            if lp is not None and plan.mode == "matrix":
+                rb = jnp.asarray(lp.row_blocks())
+                cb = jnp.asarray(lp.col_blocks())
+                wq4 = wq.reshape(lp.out_dim // 256, 256, lp.in_dim // 256, 256)
+                sw_rows = sw.reshape(lp.out_dim // 256, 256)[rb]  # (n, 256)
+                entry["base"] = (wq4[rb, :, cb, :].astype(jnp.float32)
+                                 * sw_rows[:, :, None])
+            q[ks] = entry
+    return q
+
 
 def _split_stats(flat_stats: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     """'{layer}.{module}' -> {(module, layer): stat}, split attn / mlp."""
@@ -164,4 +209,8 @@ def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes) -> Tuple[SMTPlan,
     params = jax.tree.map(lambda p: p.astype(cfg.param_dtype), master)
     trainable = plan.gather(master["layers"], dtype=jnp.float32)
     state = init_sparse_state(params, trainable, step=int(warmup_state["step"]))
+    if resolve_frozen_quant(cfg, plan.mode) == "int8":
+        # quantize from the fp32 master (best rounding); wq/sw/base are
+        # frozen constants that ride along in the state pytree
+        state["q"] = build_qweights(master["layers"], plan)
     return plan, state

@@ -346,7 +346,8 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
                 if base_rng is not None else None)
 
         def loss_of(trainable, mb):
-            linear = make_sparse_linear_dispatch(plan, trainable, cfg.sparse_impl)
+            linear = make_sparse_linear_dispatch(plan, trainable, cfg.sparse_impl,
+                                                 qweights=state.get("q"))
             return compute_loss(params, mb, cfg, model_cfg, linear=linear,
                                 remat=cfg.sparse_remat,
                                 stop_grad_below_layer=lowest_layer,
@@ -376,6 +377,8 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
             "m": opt_state["m"], "v": opt_state["v"], "count": opt_state["count"],
             "step": state["step"] + 1,
         }
+        if "q" in state:  # frozen int8 base: unchanged, aliased through donation
+            new_state["q"] = state["q"]
         return new_state, {"loss": loss, "grad_norm": gnorm, "lr": lr}
 
     return step

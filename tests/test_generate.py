@@ -154,3 +154,24 @@ def test_beam_with_early_eos_matches_hf(hf_tiny):  # noqa: F811
         assert upto_eos(g) == upto_eos(w)
         tail = [t for t in g[len(upto_eos(g)):] if t not in (0, 2)]
         assert tail == []
+
+
+def test_stacked_decode_matches_unstacked(hf_tiny):  # noqa: F811
+    """scan-over-layers decode (prepare_decode_params) must emit the same
+    tokens as the per-layer loop, greedy and beam-4."""
+    from sparse_matrix_tuning_tpu.eval.generate import prepare_decode_params
+    _, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+    stacked = prepare_decode_params(params, cfg)
+    assert "layers_stacked" in stacked and "layers" not in stacked
+    rng = np.random.default_rng(7)
+    ids, mask = _left_padded_prompts(rng)
+
+    for beams in (1, 4):
+        gen = GenerationConfig(max_new_tokens=10, num_beams=beams,
+                               repetition_penalty=1.1, eos_token_id=2,
+                               pad_token_id=0, cache_dtype="float32")
+        got_loop = generate(params, cfg, ids, mask, gen)
+        got_scan = generate(stacked, cfg, ids, mask, gen)
+        np.testing.assert_array_equal(got_loop, got_scan)

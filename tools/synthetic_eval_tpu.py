@@ -8,7 +8,9 @@ training prompt formatting, two-phase SMT, merged export, eval prompt,
 beam decode, answer extraction, accuracy accounting — with an objective
 signal (accuracy must exceed 90% on held-out pairs).
 
-Run: python tools/synthetic_eval_tpu.py
+Run: python tools/synthetic_eval_tpu.py [frozen_quant]   (none|int8|auto)
+Running it once with `none` and once with `int8` is the quality-parity
+evidence for the int8 frozen base (PARITY.md D17).
 """
 import json
 import os
@@ -71,8 +73,10 @@ def main():
     with open(os.path.join(cs, "test.json"), "w") as f:
         json.dump([{k: e[k] for k in ("instruction", "answer")} for e in test], f)
 
+    frozen_quant = sys.argv[1] if len(sys.argv) > 1 else "auto"
     out = os.path.join(work, "out")
     ft_main([
+        "--frozen_quant", frozen_quant,
         "--model_name_or_path", ckpt,
         "--data_path", os.path.join(work, "train.json"),
         "--output_dir", out,
