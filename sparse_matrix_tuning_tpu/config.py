@@ -57,6 +57,11 @@ class SMTConfig:
     channel_adam_betas: Sequence[float] = (0.95, 0.999)
     warmup_adam_betas: Sequence[float] = (0.9, 0.95)
     adam_eps: float = 1e-8
+    # fp16 dynamic loss scaling (reference inherits it from DeepSpeed's fp16
+    # block, deepspeed_helpers.py:76-87; DS defaults: init 2^16, window
+    # 2000, halve on overflow + skip step, double after `window` good steps)
+    init_loss_scale: float = 2.0 ** 16
+    loss_scale_window: int = 2000
 
     # --- SMT ------------------------------------------------------------------
     matrix_sparsity: bool = False
@@ -151,12 +156,8 @@ class SMTConfig:
                 f"unknown saliency_accumulation {self.saliency_accumulation!r}")
         if self.sparse_impl not in ("oracle", "pallas", "auto"):
             raise ValueError(f"unknown sparse_impl {self.sparse_impl!r}")
-        if self.dtype == "fp16":
-            import warnings
-            warnings.warn(
-                "dtype=fp16 has no dynamic loss scaling here (the reference "
-                "gets it from DeepSpeed); bf16 is the TPU-native choice",
-                stacklevel=2)
+        # dtype=fp16 runs with DeepSpeed-style dynamic loss scaling
+        # (train/steps.py); bf16 remains the TPU-native recommendation.
         if self.attn_impl not in ("einsum", "flash", "auto"):
             raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
         if self.frozen_quant not in ("none", "int8", "auto"):

@@ -208,7 +208,8 @@ def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes) -> Tuple[SMTPlan,
     master = warmup_state["master"]
     params = jax.tree.map(lambda p: p.astype(cfg.param_dtype), master)
     trainable = plan.gather(master["layers"], dtype=jnp.float32)
-    state = init_sparse_state(params, trainable, step=int(warmup_state["step"]))
+    state = init_sparse_state(params, trainable, step=int(warmup_state["step"]),
+                              cfg=cfg)
     if resolve_frozen_quant(cfg, plan.mode) == "int8":
         # quantize from the fp32 master (best rounding); wq/sw/base are
         # frozen constants that ride along in the state pytree

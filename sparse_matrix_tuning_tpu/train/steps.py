@@ -149,6 +149,26 @@ def resolve_saliency_accumulation(cfg: SMTConfig, master) -> str:
     return cfg.saliency_accumulation
 
 
+# --- fp16 dynamic loss scaling (DeepSpeed DynamicLossScaler semantics) ----
+
+def update_loss_scale(scale, good_steps, finite, window: int,
+                      min_scale: float = 1.0):
+    """Pure scale-update rule: halve + reset on overflow, double after
+    `window` consecutive good steps (reference fp16 block defaults,
+    deepspeed_helpers.py:76-87)."""
+    good = jnp.where(finite, good_steps + 1, 0)
+    grew = good >= window
+    new_scale = jnp.where(finite,
+                          jnp.where(grew, scale * 2.0, scale),
+                          jnp.maximum(scale * 0.5, min_scale))
+    return new_scale, jnp.where(grew, 0, good)
+
+
+def _select_tree(finite, new, old):
+    """Per-leaf select: keep `old` when the step overflowed (skipped)."""
+    return jax.tree.map(lambda n, o: jnp.where(finite, n, o), new, old)
+
+
 def init_warmup_state(master, cfg: SMTConfig) -> Dict:
     resolve_saliency_accumulation(cfg, master)
     state = {
@@ -158,6 +178,9 @@ def init_warmup_state(master, cfg: SMTConfig) -> Dict:
         "count": jnp.zeros((), jnp.int32),
         "step": jnp.zeros((), jnp.int32),
     }
+    if cfg.dtype == "fp16":
+        state["loss_scale"] = jnp.asarray(cfg.init_loss_scale, jnp.float32)
+        state["good_steps"] = jnp.zeros((), jnp.int32)
     if cfg.matrix_sparsity:
         acc = {}
         for li, layer in master["layers"].items():
@@ -213,6 +236,7 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
     lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
 
     base_rng = jax.random.PRNGKey(cfg.seed) if cfg.dropout > 0 else None
+    use_ls = cfg.dtype == "fp16"  # dynamic loss scaling
 
     def step(state: Dict, batch: Dict) -> tuple:
         drng = (jax.random.fold_in(base_rng, state["step"])
@@ -220,13 +244,18 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
 
         def loss_of(master, mb):
             params = _cast_tree(master, param_dtype)
-            return compute_loss(params, mb, cfg, model_cfg,
-                                remat=cfg.gradient_checkpointing,
-                                dropout_rng=drng)
+            raw = compute_loss(params, mb, cfg, model_cfg,
+                               remat=cfg.gradient_checkpointing,
+                               dropout_rng=drng)
+            return raw * state["loss_scale"] if use_ls else raw
 
         vag = accumulated_value_and_grad(loss_of, batch,
                                          cfg.gradient_accumulation_steps)
         loss, grads = vag(state["master"], batch)
+        if use_ls:
+            inv = 1.0 / state["loss_scale"]
+            loss = loss * inv
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32) * inv, grads)
 
         new_state = dict(state)
         if "acc" in state:
@@ -258,9 +287,25 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
         new_master, opt_state = adam_step(grads, opt_state, state["master"], lr,
                                           adam_cfg, lr_scale=lr_scale,
                                           wd_mask=full_ft_wd_mask)
+        metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr}
+        if use_ls:
+            finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            new_master = _select_tree(finite, new_master, state["master"])
+            opt_state = {
+                "m": _select_tree(finite, opt_state["m"], state["m"]),
+                "v": _select_tree(finite, opt_state["v"], state["v"]),
+                "count": jnp.where(finite, opt_state["count"], state["count"]),
+            }
+            if "acc" in new_state:
+                new_state["acc"] = _select_tree(finite, new_state["acc"],
+                                                state["acc"])
+            scale, good = update_loss_scale(state["loss_scale"],
+                                            state["good_steps"], finite,
+                                            cfg.loss_scale_window)
+            new_state.update(loss_scale=scale, good_steps=good)
+            metrics.update(loss_scale=state["loss_scale"], overflow=~finite)
         new_state.update(master=new_master, m=opt_state["m"], v=opt_state["v"],
                          count=opt_state["count"], step=state["step"] + 1)
-        metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr}
         return new_state, metrics
 
     return step
@@ -315,8 +360,9 @@ def build_channel_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callabl
 # Sparse (post-conversion) step
 # ---------------------------------------------------------------------------
 
-def init_sparse_state(params, trainable, step: int) -> Dict:
-    return {
+def init_sparse_state(params, trainable, step: int,
+                      cfg: SMTConfig | None = None) -> Dict:
+    state = {
         "params": params,
         "trainable": trainable,
         "m": jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), trainable),
@@ -324,6 +370,12 @@ def init_sparse_state(params, trainable, step: int) -> Dict:
         "count": jnp.zeros((), jnp.int32),
         "step": jnp.asarray(step, jnp.int32),
     }
+    if cfg is not None and cfg.dtype == "fp16":
+        # fresh scaler for phase 2 (the reference rebuilds the whole
+        # DeepSpeed engine at conversion, fine_tune.py:379-384)
+        state["loss_scale"] = jnp.asarray(cfg.init_loss_scale, jnp.float32)
+        state["good_steps"] = jnp.zeros((), jnp.int32)
+    return state
 
 
 def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
@@ -339,6 +391,7 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
                       and _resolve_impl(cfg.sparse_impl) == "pallas")
 
     base_rng = jax.random.PRNGKey(cfg.seed + 1) if cfg.dropout > 0 else None
+    use_ls = cfg.dtype == "fp16"
 
     def step(state: Dict, batch: Dict) -> tuple:
         params = state["params"]
@@ -348,14 +401,19 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
         def loss_of(trainable, mb):
             linear = make_sparse_linear_dispatch(plan, trainable, cfg.sparse_impl,
                                                  qweights=state.get("q"))
-            return compute_loss(params, mb, cfg, model_cfg, linear=linear,
-                                remat=cfg.sparse_remat,
-                                stop_grad_below_layer=lowest_layer,
-                                dropout_rng=drng)
+            raw = compute_loss(params, mb, cfg, model_cfg, linear=linear,
+                               remat=cfg.sparse_remat,
+                               stop_grad_below_layer=lowest_layer,
+                               dropout_rng=drng)
+            return raw * state["loss_scale"] if use_ls else raw
 
         vag = accumulated_value_and_grad(loss_of, batch,
                                          cfg.gradient_accumulation_steps)
         loss, grads = vag(state["trainable"], batch)
+        if use_ls:
+            inv = 1.0 / state["loss_scale"]
+            loss = loss * inv
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32) * inv, grads)
         grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
         lr = lr_sched(state["count"])
         opt_state = {"m": state["m"], "v": state["v"], "count": state["count"]}
@@ -366,20 +424,34 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
             new_trainable, opt_state = adam_step(grads, opt_state,
                                                  state["trainable"], lr,
                                                  adam_cfg, lr_scale=lr_scale)
+        metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr}
+        new_state = {"step": state["step"] + 1}
+        if use_ls:
+            finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            new_trainable = _select_tree(finite, new_trainable,
+                                         state["trainable"])
+            opt_state = {
+                "m": _select_tree(finite, opt_state["m"], state["m"]),
+                "v": _select_tree(finite, opt_state["v"], state["v"]),
+                "count": jnp.where(finite, opt_state["count"], state["count"]),
+            }
+            scale, good = update_loss_scale(state["loss_scale"],
+                                            state["good_steps"], finite,
+                                            cfg.loss_scale_window)
+            new_state.update(loss_scale=scale, good_steps=good)
+            metrics.update(loss_scale=state["loss_scale"], overflow=~finite)
         # scatter-at-update: dense weights absorb the new block values once
         # per step (donated buffers make this in-place)
         new_layers = plan.scatter(params["layers"], new_trainable)
         new_params = dict(params)
         new_params["layers"] = new_layers
 
-        new_state = {
-            "params": new_params, "trainable": new_trainable,
-            "m": opt_state["m"], "v": opt_state["v"], "count": opt_state["count"],
-            "step": state["step"] + 1,
-        }
+        new_state.update(params=new_params, trainable=new_trainable,
+                         m=opt_state["m"], v=opt_state["v"],
+                         count=opt_state["count"])
         if "q" in state:  # frozen int8 base: unchanged, aliased through donation
             new_state["q"] = state["q"]
-        return new_state, {"loss": loss, "grad_norm": gnorm, "lr": lr}
+        return new_state, metrics
 
     return step
 

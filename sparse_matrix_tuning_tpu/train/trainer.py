@@ -275,6 +275,13 @@ class SMTTrainer:
                 metrics = self.train_step(batch)
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):
+                    if metrics.get("overflow") is not None and bool(metrics["overflow"]):
+                        # fp16 dynamic loss scaling: overflow steps are
+                        # skipped+rescaled, not fatal (DeepSpeed semantics)
+                        print_rank_0(
+                            f"[fp16] overflow at step {self.step}, loss scale "
+                            f"-> {float(metrics['loss_scale']) / 2:.0f}")
+                        continue
                     # explicit NaN guard (the reference has no sanitizers,
                     # SURVEY.md §5.2 — a NaN there silently poisons the run)
                     raise FloatingPointError(
