@@ -158,7 +158,7 @@ class SMTConfig:
             raise ValueError(f"unknown sparse_impl {self.sparse_impl!r}")
         # dtype=fp16 runs with DeepSpeed-style dynamic loss scaling
         # (train/steps.py); bf16 remains the TPU-native recommendation.
-        if self.attn_impl not in ("einsum", "flash", "auto"):
+        if self.attn_impl not in ("einsum", "flash", "fullk", "auto"):
             raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
         if self.frozen_quant not in ("none", "int8", "auto"):
             raise ValueError(f"unknown frozen_quant {self.frozen_quant!r}")

@@ -220,13 +220,38 @@ def _flash_attention(q, k, v):
     return out.transpose(0, 2, 1, 3).reshape(b, s, hq * hd)
 
 
+def _fullk_attention(q, k, v):
+    """Fused v5e Pallas attention with the full K/V row VMEM-resident
+    (ops/pallas/attention.py): causal + right-padding safe like flash, one
+    fused backward pass, no fp32 score/prob HBM traffic. GQA handled
+    natively (no KV repeat)."""
+    from sparse_matrix_tuning_tpu.ops.pallas.attention import fullk_attention
+    b, s, hq, hd = q.shape
+    out = fullk_attention(q, k, v, 1.0 / float(np.sqrt(hd)))
+    return out.reshape(b, s, hq * hd)
+
+
 def resolve_attn_impl(attn_impl: str, seq_len: int, head_dim: int) -> str:
-    """Measured on v5e (tools/profile_step.py methodology): XLA's fused
-    einsum attention beats the stock Pallas flash kernel at seq 1024-4096
-    in both fwd and bwd (e.g. bwd 13.7ms vs 24.7ms at seq 2048), so "auto"
-    resolves to einsum; flash remains opt-in for longer-context regimes."""
+    """Measured on v5e (tools/attn_fullk_bench.py, tools/attn_tune.py):
+
+      * the hand-written fullk Pallas kernel (ops/pallas/attention.py) beats
+        XLA einsum attention 2.06x fwd+bwd at the training geometry
+        (b8/s1024/hq32/hkv8/hd128: 6.46ms vs 13.32ms) — no fp32 score/prob
+        HBM traffic, one fused bwd pass;
+      * XLA einsum in turn beats the stock Pallas flash kernel at seq
+        1024-4096 (bwd ~1.8x, e.g. 13.7ms vs 24.7ms at seq 2048).
+
+    "auto" resolves to fullk on a single TPU device at training lengths
+    (its full-K/V-in-VMEM layout is validated to seq 4096); einsum
+    elsewhere — CPU (interpret-mode Pallas is test-only) and multi-device
+    GSPMD meshes (pallas_call has no SPMD partitioning rule, so XLA would
+    all-gather the sharded batch around it). flash stays opt-in for
+    longer-context regimes."""
     if attn_impl != "auto":
         return attn_impl
+    if (jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+            and seq_len <= 4096):
+        return "fullk"
     return "einsum"
 
 
@@ -267,7 +292,9 @@ def _decoder_layer(lp: Mapping[str, jax.Array], x: jax.Array, mask_bias, cos, si
     v = v.reshape(b, s, cfg.num_key_value_heads, hd)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    if attn_impl == "flash" and (cfg.attention_dropout <= 0 or dropout_rng is None):
+    if attn_impl == "fullk" and (cfg.attention_dropout <= 0 or dropout_rng is None):
+        attn = _fullk_attention(q, k, v)
+    elif attn_impl == "flash" and (cfg.attention_dropout <= 0 or dropout_rng is None):
         attn = _flash_attention(q, k, v)
     else:
         attn = _attention(q, k, v, mask_bias,
