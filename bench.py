@@ -197,9 +197,12 @@ def run_phase(phase: str, small: bool) -> dict:
         trainable = plan.gather(params["layers"])
         state = init_sparse_state(params, trainable, step=0)
         from sparse_matrix_tuning_tpu.train.convert import (
-            build_qweights, resolve_frozen_quant)
+            build_qweights, frozen_offload_active, offload_frozen_to_host,
+            resolve_frozen_quant)
         if resolve_frozen_quant(cfg, plan.mode) == "int8":
             state["q"] = build_qweights(params["layers"], plan)
+            if frozen_offload_active(cfg, plan.mode, None):
+                state, _ = offload_frozen_to_host(state, keep_host=False)
         del params, trainable
         sched = make_lr_schedule("constant", 1e-5, 0, 100)
         step_fn = jax.jit(build_sparse_step(cfg, big, plan, sched),
@@ -218,6 +221,12 @@ def run_phase(phase: str, small: bool) -> dict:
         sec = time_steps(t, big_batch)
         total_params = sum(int(np.prod(p.shape))
                            for p in jax.tree.leaves(t.state["params"]))
+        # host-offloaded frozen weights left (0,)-placeholders behind:
+        # count them via their int8 copies
+        for ks, q in t.state.get("q", {}).items():
+            li, mod = ks.split(".", 1)
+            if t.state["params"]["layers"][li][mod].ndim != 2:
+                total_params += int(np.prod(q["wq"].shape))
         return {"sec_per_step": sec, "tokens": bsz * seq,
                 "total_params": total_params,
                 "trainable_params": plan.trainable_params,
@@ -242,6 +251,7 @@ def run_phase(phase: str, small: bool) -> dict:
                             "master": trainer.state["trainable"]})
     total_params = sum(int(np.prod(p.shape))
                        for p in jax.tree.leaves(trainer.state["params"]))
+    total_params += sum(v.size for v in (trainer._host_frozen or {}).values())
     return {"sec_per_step": sec, "opt_bytes": opt_bytes, "tokens": bsz * seq,
             "total_params": total_params,
             "trainable_params": trainer.plan.trainable_params,

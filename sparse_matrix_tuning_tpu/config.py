@@ -104,10 +104,18 @@ class SMTConfig:
     #   "int8" — frozen base quantized once to int8 (per-out-channel scales)
     #            with exact block corrections; ~1.7x matmul speedup on v5e
     #            at 8B widths (tools/int8_probe.py). Selected blocks see
-    #            zero quantization error; eval/export always use the exact
-    #            bf16 dense weights. QLoRA-style precedent (PARITY.md D13).
+    #            zero quantization error; export always merges into the
+    #            exact bf16 dense weights. QLoRA-style precedent (PARITY.md
+    #            D13).
     #   "auto" — int8 on TPU, none elsewhere
     frozen_quant: str = "auto"
+    # int8 + single process/device: move the (compute-dead) bf16 dense
+    # layer weights to host RAM for the sparse phase, freeing 2 bytes/param
+    # of HBM; export/checkpoint reconstruct them (train/convert.py
+    # frozen_offload_active). Eval-loss then runs the same q8-corrected
+    # forward as training (without offload it reads the exact bf16 dense
+    # weights).
+    frozen_host_offload: bool = True
     # loss implementation: "full" (materialise (B,S,V) fp32 logits),
     # "chunked" (fused head+CE over vocab chunks, ops/loss.py), "auto"
     # (chunked for real vocabularies, full for tiny test models)
@@ -244,9 +252,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--sparse_impl", type=str, default=d.sparse_impl,
                    choices=["oracle", "pallas", "auto"])
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
-                   choices=["einsum", "flash", "auto"])
+                   choices=["einsum", "flash", "fullk", "auto"])
     p.add_argument("--frozen_quant", type=str, default=d.frozen_quant,
                    choices=["none", "int8", "auto"])
+    p.add_argument("--no_frozen_host_offload", dest="frozen_host_offload",
+                   action="store_false")
     p.add_argument("--mesh_shape", type=int, nargs="*", default=None,
                    help="data fsdp tensor mesh dims; default = all devices on fsdp")
     p.add_argument("--seq_buckets", type=int, nargs="*", default=None)

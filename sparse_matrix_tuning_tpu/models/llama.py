@@ -224,10 +224,21 @@ def _fullk_attention(q, k, v):
     """Fused v5e Pallas attention with the full K/V row VMEM-resident
     (ops/pallas/attention.py): causal + right-padding safe like flash, one
     fused backward pass, no fp32 score/prob HBM traffic. GQA handled
-    natively (no KV repeat)."""
-    from sparse_matrix_tuning_tpu.ops.pallas.attention import fullk_attention
+    natively (no KV repeat). On a multi-device mesh the kernel runs under
+    shard_map (batch over data/fsdp, heads over tensor); falls back to the
+    einsum path when the mesh does not divide the shape."""
+    from sparse_matrix_tuning_tpu.ops.pallas.attention import (
+        fullk_attention, fullk_attention_spmd, fullk_supported_on_mesh)
+    from sparse_matrix_tuning_tpu.parallel.mesh import compute_mesh
     b, s, hq, hd = q.shape
-    out = fullk_attention(q, k, v, 1.0 / float(np.sqrt(hd)))
+    sm = 1.0 / float(np.sqrt(hd))
+    mesh = compute_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        if not fullk_supported_on_mesh(mesh, b, hq, k.shape[2]):
+            return None  # caller falls back to einsum
+        out = fullk_attention_spmd(q, k, v, sm, mesh)
+    else:
+        out = fullk_attention(q, k, v, sm)
     return out.reshape(b, s, hq * hd)
 
 
@@ -292,11 +303,13 @@ def _decoder_layer(lp: Mapping[str, jax.Array], x: jax.Array, mask_bias, cos, si
     v = v.reshape(b, s, cfg.num_key_value_heads, hd)
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
-    if attn_impl == "fullk" and (cfg.attention_dropout <= 0 or dropout_rng is None):
-        attn = _fullk_attention(q, k, v)
-    elif attn_impl == "flash" and (cfg.attention_dropout <= 0 or dropout_rng is None):
+    attn = None
+    fused_ok = cfg.attention_dropout <= 0 or dropout_rng is None
+    if attn_impl == "fullk" and fused_ok:
+        attn = _fullk_attention(q, k, v)  # None = mesh doesn't divide shape
+    elif attn_impl == "flash" and fused_ok:
         attn = _flash_attention(q, k, v)
-    else:
+    if attn is None:
         attn = _attention(q, k, v, mask_bias,
                           dropout_rate=cfg.attention_dropout,
                           dropout_rng=dropout_rng)

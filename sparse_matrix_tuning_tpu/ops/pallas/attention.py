@@ -241,3 +241,35 @@ def _vjp_bwd(sm_scale: float, res, g):
 
 
 fullk_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fullk_supported_on_mesh(mesh, b: int, hq: int, hkv: int) -> bool:
+    """Attention is local to (batch, head): the kernel runs under shard_map
+    iff the mesh's batch axes divide B and `tensor` divides both head
+    counts (megatron col-parallel q/k/v shard by head, parallel/mesh.py)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    bs = sizes.get("data", 1) * sizes.get("fsdp", 1)
+    t = sizes.get("tensor", 1)
+    return b % bs == 0 and hq % t == 0 and hkv % t == 0
+
+
+def fullk_attention_spmd(q, k, v, sm_scale: float, mesh):
+    """fullk_attention under a GSPMD mesh via shard_map: batch over
+    (data, fsdp), heads over tensor — matching the activation shardings the
+    megatron weight layout induces (parallel/mesh.py). Attention has no
+    cross-batch/cross-head terms, so the body needs zero collectives;
+    pallas_call itself has no SPMD partitioning rule, which is why the
+    explicit shard_map (a bare call under jit would be all-gathered)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(("data", "fsdp"), None, "tensor", None)
+    f = shard_map(
+        lambda q, k, v: fullk_attention(q, k, v, sm_scale), mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec,
+        # pallas_call out_shapes carry no varying-mesh-axes info
+        check_vma=False)
+    return f(q, k, v)

@@ -27,6 +27,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXES = ("data", "fsdp", "tensor")
 
+# The mesh the current step functions are being built for. Model code that
+# needs explicit SPMD handling (shard_map around Pallas kernels, which have
+# no GSPMD partitioning rule) reads it at trace time; None = single-device.
+_COMPUTE_MESH: Optional[Mesh] = None
+
+
+def set_compute_mesh(mesh: Optional[Mesh]) -> None:
+    global _COMPUTE_MESH
+    _COMPUTE_MESH = mesh
+
+
+def compute_mesh() -> Optional[Mesh]:
+    return _COMPUTE_MESH
+
 
 def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
               devices=None) -> Mesh:

@@ -163,6 +163,11 @@ class SMTPlan:
         new_layers = {k: dict(v) for k, v in layer_params.items()}
         for ks, lp in self.linears.items():
             w = new_layers[str(lp.layer)][lp.module]
+            if getattr(w, "ndim", 2) != 2:
+                # zero-size placeholder: the dense weight lives on host
+                # (train/convert.py offload_frozen_to_host) — nothing to
+                # keep current on device
+                continue
             t = trainable[ks].astype(w.dtype)
             if self.mode == "matrix":
                 w4 = w.reshape(lp.out_dim // BLOCK, BLOCK,

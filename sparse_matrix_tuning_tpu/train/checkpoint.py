@@ -20,6 +20,29 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def _save_host_frozen(path: str, host) -> None:
+    """npz sidecar for the host-offloaded frozen bf16 weights (bf16 has no
+    native numpy dtype support in npz — stored as a uint16 view)."""
+    import ml_dtypes
+    import numpy as np
+    np.savez(os.path.join(path, "frozen_host.npz"),
+             **{k: (v.view(np.uint16) if v.dtype == ml_dtypes.bfloat16 else v)
+                for k, v in host.items()})
+
+
+def _load_host_frozen(path: str):
+    import ml_dtypes
+    import numpy as np
+    f = os.path.join(path, "frozen_host.npz")
+    if not os.path.exists(f):
+        return None
+    with np.load(f) as z:
+        # no model weight is genuinely uint16, so uint16 == viewed bf16
+        return {k: (z[k].view(ml_dtypes.bfloat16)
+                    if z[k].dtype == np.uint16 else z[k])
+                for k in z.files}
+
+
 def save_checkpoint(path: str, trainer) -> None:
     """trainer: SMTTrainer. Writes {path}/state, plan.json, meta.json.
 
@@ -31,6 +54,9 @@ def save_checkpoint(path: str, trainer) -> None:
                   force=True)
     if jax.process_index() != 0:
         return
+    if getattr(trainer, "_host_frozen", None) is not None:
+        # offload is single-process by construction (frozen_offload_active)
+        _save_host_frozen(path, trainer._host_frozen)
     meta = {"phase": trainer.phase, "step": trainer.step,
             "total_steps": trainer.total_steps,
             "best_eval_loss": trainer.best_eval_loss}
@@ -57,10 +83,11 @@ def restore_checkpoint(path: str, trainer) -> None:
             plan = SMTPlan.from_json(f.read())
 
     template = jax.tree.map(lambda x: x, trainer.state)
+    host_frozen = None
     if meta["phase"] == "sparse" and trainer.phase == "warmup":
         # build a structural template for the sparse state
         from sparse_matrix_tuning_tpu.train.convert import (
-            build_qweights, resolve_frozen_quant)
+            build_qweights, offload_frozen_to_host, resolve_frozen_quant)
         from sparse_matrix_tuning_tpu.train.steps import init_sparse_state
         master = trainer.state["master"]
         params = jax.tree.map(lambda p: p.astype(trainer.cfg.param_dtype), master)
@@ -70,6 +97,12 @@ def restore_checkpoint(path: str, trainer) -> None:
         # be restored on the same backend class it was written on
         if resolve_frozen_quant(trainer.cfg, plan.mode) == "int8":
             template["q"] = build_qweights(master["layers"], plan)
+        host_frozen = _load_host_frozen(path)
+        if host_frozen is not None:
+            # the checkpoint was written with the dense weights on host —
+            # match its placeholder structure (values come from the sidecar,
+            # which holds the conversion-time warm-up-trained weights)
+            template, _ = offload_frozen_to_host(template, keep_host=False)
 
     restored = _ckptr().restore(os.path.join(os.path.abspath(path), "state"),
                                 item=template)
@@ -77,5 +110,6 @@ def restore_checkpoint(path: str, trainer) -> None:
     trainer.best_eval_loss = meta["best_eval_loss"]
     if meta["phase"] == "sparse":
         trainer.plan = plan
+        trainer._host_frozen = host_frozen
         trainer.install_sparse_phase()
     trainer._place_state(plan_mode=plan.mode if plan else None)

@@ -215,3 +215,45 @@ def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes) -> Tuple[SMTPlan,
         # frozen constants that ride along in the state pytree
         state["q"] = build_qweights(master["layers"], plan)
     return plan, state
+
+
+def frozen_offload_active(cfg: SMTConfig, mode: str, mesh) -> bool:
+    """int8 frozen base + single process/device: the bf16 dense layer
+    weights are dead in sparse-phase compute (planned linears run through
+    wq/sw/base with the exact block correction, frozen ones through wq/sw),
+    so they move to HOST memory and HBM holds only the int8 copy. Disabled
+    on meshes: there the dense weights are fsdp-sharded (cheap per chip)
+    and the multi-host gather/save machinery expects them on device."""
+    return (cfg.frozen_host_offload and mode == "matrix"
+            and resolve_frozen_quant(cfg, mode) == "int8"
+            and mesh is None and jax.process_count() == 1)
+
+
+def offload_frozen_to_host(state: Dict,
+                           keep_host: bool = True
+                           ) -> Tuple[Dict, Dict[str, np.ndarray]]:
+    """Move every quantized dense layer weight (the keys of state["q"]) to
+    host numpy, leaving a zero-size placeholder on device so the state
+    pytree keeps its structure. Returns (new_state, host_store).
+
+    The sparse step then skips the per-step block scatter (plan.scatter
+    no-ops on placeholders) and HF export reconstructs the dense weights on
+    host (trainer.merged_params). ~2 bytes/param of HBM freed — the
+    difference between the bench's 36% and 24% live-HBM-vs-full-FT ratio.
+    No reference analogue: the reference's frozen weights stay in HBM as
+    the forward operand (smt.py:366)."""
+    host: Dict[str, np.ndarray] = {}
+    new_layers = {k: dict(v) for k, v in state["params"]["layers"].items()}
+    for ks in state["q"]:
+        li, mod = ks.split(".", 1)
+        w = new_layers[li][mod]
+        if keep_host:  # False = caller never exports (throughput benches)
+            host[ks] = np.asarray(w)
+        # 1-element (not 0-size: orbax refuses those) placeholder keeps the
+        # pytree structure for checkpoints and the model's lp[name] access
+        new_layers[li][mod] = jnp.zeros((1,), w.dtype)
+    new_params = dict(state["params"])
+    new_params["layers"] = new_layers
+    new_state = dict(state)
+    new_state["params"] = new_params
+    return new_state, host

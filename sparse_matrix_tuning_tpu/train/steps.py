@@ -485,18 +485,29 @@ def _fused_block_adam_update(grads, opt_state, trainable, lr, adam_cfg,
 # Eval loss
 # ---------------------------------------------------------------------------
 
-def build_eval_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callable:
+def build_eval_step(cfg: SMTConfig, model_cfg: LlamaConfig,
+                    plan=None) -> Callable:
     """Forward-only loss (reference helpers/helper.py:210-245). Works for
     both phases: in the sparse phase the dense weights already contain the
-    current block values."""
+    current block values (scatter-at-update).
+
+    plan: required only when the dense weights were offloaded to host
+    (train/convert.py offload_frozen_to_host) — eval then runs the same
+    q8-corrected sparse dispatch as the training forward."""
     param_dtype = cfg.param_dtype
 
-    def step(params, batch) -> jax.Array:
-        if "master" in params:
-            params = _cast_tree(params["master"], param_dtype)
-        elif "params" in params:
-            params = params["params"]
-        return compute_loss(params, batch, cfg, model_cfg,
+    def step(state, batch) -> jax.Array:
+        if "master" in state:
+            params = _cast_tree(state["master"], param_dtype)
+            linear = None
+        else:
+            params = state["params"]
+            linear = None
+            if plan is not None and "q" in state:
+                linear = make_sparse_linear_dispatch(
+                    plan, state["trainable"], cfg.sparse_impl,
+                    qweights=state["q"])
+        return compute_loss(params, batch, cfg, model_cfg, linear=linear,
                             remat=cfg.gradient_checkpointing)
 
     return step

@@ -47,6 +47,12 @@ class SMTTrainer:
         self.plan: Optional[SMTPlan] = None
         self.phase = "warmup"
         self._all_2d_shapes = all_2d_param_shapes(params)
+        # host-RAM store of the frozen bf16 dense weights when the int8
+        # sparse phase offloads them (train/convert.py frozen_offload_active)
+        self._host_frozen: Optional[Dict[str, np.ndarray]] = None
+
+        from sparse_matrix_tuning_tpu.parallel.mesh import set_compute_mesh
+        set_compute_mesh(mesh)  # shard_map-wrapped kernels read this at trace
 
         self.state = init_warmup_state(params, cfg)
         self._place_state(plan_mode=None)
@@ -156,10 +162,14 @@ class SMTTrainer:
         t0 = time.time()
         self.plan, self.state = convert_mod.convert(self.cfg, self.state,
                                                     self._all_2d_shapes)
+        if convert_mod.frozen_offload_active(self.cfg, self.plan.mode, self.mesh):
+            self.state, self._host_frozen = \
+                convert_mod.offload_frozen_to_host(self.state)
         self._place_state(plan_mode=self.plan.mode)
         self.install_sparse_phase()
 
         total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state["params"]))
+        total += sum(v.size for v in (self._host_frozen or {}).values())
         sel = self.plan.trainable_params
         print_rank_0(
             f"[smt] converted at step {self.step} in {time.time() - t0:.1f}s: "
@@ -181,12 +191,19 @@ class SMTTrainer:
             max(self.total_steps - conversion_step, 1))
         self._sparse_step = self._jit(
             build_sparse_step(self.cfg, self.model_cfg, self.plan, sparse_sched))
+        if self._host_frozen is not None:
+            # dense weights left the device: eval-loss must run the same
+            # q8-corrected dispatch as the training forward
+            self._eval_step = self._jit_eval(
+                build_eval_step(self.cfg, self.model_cfg, plan=self.plan))
 
     # -- steps ------------------------------------------------------------------------
 
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         """One global-batch step, dispatching on phase (reference loop body
         fine_tune.py:248-844)."""
+        from sparse_matrix_tuning_tpu.parallel.mesh import set_compute_mesh
+        set_compute_mesh(self.mesh)  # jit traces lazily, on the first call
         self.maybe_convert()
         if self.phase == "sparse":
             self.state, metrics = self._sparse_step(self.state, batch)
@@ -205,6 +222,8 @@ class SMTTrainer:
         — the global mean, with no explicit all-reduce needed (the
         reference instead shards eval data per rank and get_all_reduce_means
         the result, deepspeed_helpers.py:409-412)."""
+        from sparse_matrix_tuning_tpu.parallel.mesh import set_compute_mesh
+        set_compute_mesh(self.mesh)
         losses = []
         for batch in eval_batches:
             losses.append(self._eval_step(self.state, batch))
@@ -340,11 +359,34 @@ class SMTTrainer:
         """Dense params with current trainables merged (reference
         convert_matrix_sparsity_to_linear_layer, smt.py:416-457). In the
         sparse phase the dense weights are already current; in warm-up the
-        master is the truth."""
+        master is the truth. With the int8 host offload the frozen bf16
+        weights are reconstructed on host and the trained blocks scattered
+        in — export is exact, independent of the int8 compute path."""
         if self.phase == "sparse":
+            if self._host_frozen is not None:
+                return self._merged_from_host()
             return self.state["params"]
         return jax.tree.map(lambda p: p.astype(self.cfg.param_dtype),
                             self.state["master"])
+
+    def _merged_from_host(self):
+        from sparse_matrix_tuning_tpu.smt.plan import BLOCK
+        params = jax.tree.map(np.asarray, self.state["params"])
+        layers = {k: dict(v) for k, v in params["layers"].items()}
+        for ks, w in self._host_frozen.items():
+            li, mod = ks.split(".", 1)
+            layers[li][mod] = w
+        for ks, lp in self.plan.linears.items():
+            w = layers[str(lp.layer)][lp.module].copy()
+            t = np.asarray(self.state["trainable"][ks]).astype(w.dtype)
+            w4 = w.reshape(lp.out_dim // BLOCK, BLOCK, lp.in_dim // BLOCK, BLOCK)
+            rb = np.asarray(lp.row_blocks())
+            cb = np.asarray(lp.col_blocks())
+            w4[rb, :, cb, :] = t
+            layers[str(lp.layer)][lp.module] = w
+        params = dict(params)
+        params["layers"] = layers
+        return params
 
     def _maybe_profile(self):
         """jax.profiler device trace of a few steady-state steps

@@ -96,3 +96,65 @@ def test_mqa_single_kv_head():
     want = _attention(q, k, v, _causal_bias(s)).reshape(b, s, hq, hd)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=1e-5)
+
+
+def test_spmd_matches_single_device():
+    """shard_map path over the fake 8-device mesh (batch over data+fsdp,
+    heads over tensor): fwd + grads match the einsum oracle."""
+    from sparse_matrix_tuning_tpu.ops.pallas.attention import (
+        fullk_attention_spmd, fullk_supported_on_mesh)
+    from sparse_matrix_tuning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 2, 2))
+    b, s, hq, hkv, hd = 4, 128, 4, 2, 64
+    assert fullk_supported_on_mesh(mesh, b, hq, hkv)
+    assert not fullk_supported_on_mesh(mesh, 3, hq, hkv)   # batch not / 4
+    assert not fullk_supported_on_mesh(mesh, b, hq, 1)     # hkv not / 2
+
+    q, k, v = _qkv(np.random.default_rng(5), b, s, hq, hkv, hd, jnp.float32)
+    sm = 1.0 / float(np.sqrt(hd))
+    bias = _causal_bias(s)
+    w = jnp.asarray(
+        np.random.default_rng(6).standard_normal((b, s, hq, hd)), jnp.float32)
+
+    def loss_spmd(q, k, v):
+        return jnp.sum(fullk_attention_spmd(q, k, v, sm, mesh) * w)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(_attention(q, k, v, bias).reshape(b, s, hq, hd) * w)
+
+    got = fullk_attention_spmd(q, k, v, sm, mesh)
+    want = _attention(q, k, v, bias).reshape(b, s, hq, hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=1e-5)
+
+    g_got = jax.grad(loss_spmd, argnums=(0, 1, 2))(q, k, v)
+    g_want = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_got, g_want, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-4, err_msg=f"d{name}")
+
+
+def test_spmd_pre_sharded_and_resharded_inputs():
+    """Under jit with inputs committed to a DIFFERENT sharding, shard_map
+    must reshard and still produce the oracle result — including on the
+    (2,2,2) mesh (the kernel is correct there; a CPU-backend full-model
+    miscompile around the boundary is documented in test_sharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sparse_matrix_tuning_tpu.ops.pallas.attention import (
+        fullk_attention_spmd)
+    from sparse_matrix_tuning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 2, 2))
+    b, s, hq, hkv, hd = 8, 64, 4, 2, 64
+    q, k, v = _qkv(np.random.default_rng(7), b, s, hq, hkv, hd, jnp.float32)
+    sm = 1.0 / float(np.sqrt(hd))
+    want = _attention(q, k, v, _causal_bias(s)).reshape(b, s, hq, hd)
+    f = jax.jit(lambda a, b_, c: fullk_attention_spmd(a, b_, c, sm, mesh))
+
+    for spec in (P(("data", "fsdp"), None, "tensor", None),
+                 P("data", None, None, None)):
+        sh = NamedSharding(mesh, spec)
+        args = [jax.device_put(x, sh) for x in (q, k, v)]
+        np.testing.assert_allclose(np.asarray(f(*args)), np.asarray(want),
+                                   rtol=2e-6, atol=1e-5, err_msg=str(spec))

@@ -54,6 +54,30 @@ def test_mesh_matches_single_device_numerics():
     np.testing.assert_allclose(single_losses, mesh_losses, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 4, 2), (2, 4, 1)])
+def test_fullk_attention_on_mesh_matches_einsum(mesh_shape):
+    """attn_impl=fullk on a mesh routes through the shard_map-wrapped
+    Pallas kernel (models.llama._fullk_attention) and reproduces the einsum
+    path's training numerics.
+
+    (2,2,2) is excluded: the CPU backend miscompiles the full model around
+    the shard_map boundary on that shape (first step loss off by 3e-3; the
+    kernel itself is verified elementwise-correct on the same mesh both
+    pre-sharded and resharded, test_attention_kernel.py) — same backend bug
+    family as the batch-commit miscompile documented at trainer._jit."""
+    batches = make_batches(4, bsz=8)
+
+    def run(attn_impl):
+        mesh = make_mesh(mesh_shape)
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        t = SMTTrainer(smt_cfg(attn_impl=attn_impl), CFG, params,
+                       total_steps=4, mesh=mesh)
+        return [float(t.train_step(b)["loss"]) for b in batches]
+
+    np.testing.assert_allclose(run("fullk"), run("einsum"),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_state_is_actually_sharded():
     mesh = make_mesh((1, 8, 1))
     cfg = smt_cfg()
