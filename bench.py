@@ -152,38 +152,42 @@ def run_phase(phase: str, small: bool) -> dict:
                 "live_hbm_bytes": live_hbm(), "hbm_source": hbm_source()}
 
     if phase == "smt_big":
-        # the memory headline: sparse-phase SMT training of a ~3B model on
-        # ONE 16G chip — full FT needs >=54 GB (fp32 master+m+v+grads)
-        # before activations, i.e. cannot run here at all. Selection plan is
-        # synthetic (throughput does not depend on which blocks are chosen);
-        # in deployment the warm-up/selection runs sharded on a pod.
+        # the memory headline: sparse-phase SMT training of the FULL
+        # Llama-3-8B geometry (8.03B params) on ONE 16G chip — full FT of
+        # it needs >=145 GB of fp32 master+m+v+grads before activations.
+        # Stack: int8 frozen base (weights generated AND quantized layer-by-
+        # layer on device; peak transient = one layer's bf16) + host offload
+        # (only int8 + embeddings stay resident) + scan-over-layers step
+        # (compile is depth-independent; the unrolled 32-layer form took
+        # ~16 min on this tunnel) + sparse-phase remat. Selection plan is
+        # synthetic (throughput does not depend on which blocks are chosen).
         import jax.numpy as jnp
         from sparse_matrix_tuning_tpu.models.llama import LlamaConfig
-        from sparse_matrix_tuning_tpu.smt.plan import SMTPlan, LinearPlan
+        from sparse_matrix_tuning_tpu.ops.quant import quantize_weight
+        from sparse_matrix_tuning_tpu.smt.plan import BLOCK, SMTPlan, LinearPlan
         from sparse_matrix_tuning_tpu.smt.optimizer import make_lr_schedule
-        from sparse_matrix_tuning_tpu.train.steps import (
-            build_sparse_step, init_sparse_state)
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            build_scan_sparse_step, stack_plan_indices)
 
-        # 32 layers ~ 2.1B: full-FT state alone (fp32 master+m+v+grads)
-        # needs ~33GB; kept at 32 (not 48) layers to bound XLA compile time
-        big = LlamaConfig(vocab_size=32000, hidden_size=2048,
-                          intermediate_size=8192, num_hidden_layers=32,
-                          num_attention_heads=16, num_key_value_heads=4,
-                          max_position_embeddings=2048)
+        H, F, VOCAB, HKV, L = 4096, 14336, 128256, 8, 32
+        big = LlamaConfig(vocab_size=VOCAB, hidden_size=H,
+                          intermediate_size=F, num_hidden_layers=L,
+                          num_attention_heads=32, num_key_value_heads=HKV,
+                          max_position_embeddings=2048,
+                          tie_word_embeddings=False)
         bsz, seq = 8, 1024
         cfg = SMTConfig(matrix_sparsity=True, full_ft_steps=0,
                         downsample_attention_blocks_ratio=0.0084,
                         downsample_mlp_blocks_ratio=0.0084,
-                        gradient_checkpointing=True, **common)
-        params = init_params(jax.random.PRNGKey(0), big, dtype=jnp.bfloat16)
+                        sparse_gradient_checkpointing=True,
+                        scan_layers="on", **common)
 
         rng = np.random.default_rng(0)
         linears = {}
-        total_blocks = 0
-        for li in range(big.num_hidden_layers):
-            for mod, (o, i) in (("q_proj", (2048, 2048)),
-                                ("gate_proj", (8192, 2048)),
-                                ("down_proj", (2048, 8192))):
+        for li in range(L):
+            for mod, (o, i) in (("q_proj", (H, H)),
+                                ("gate_proj", (F, H)),
+                                ("down_proj", (H, F))):
                 nblocks = 2 if mod == "q_proj" else 4
                 grid = (o // 256, i // 256)
                 picks = {(int(r), int(c)) for r, c in zip(
@@ -191,22 +195,68 @@ def run_phase(phase: str, small: bool) -> dict:
                     rng.integers(0, grid[1], nblocks))}
                 linears[f"{li}.{mod}"] = LinearPlan(mod, li, o, i,
                                                     blocks=tuple(sorted(picks)))
-                total_blocks += len(picks)
         plan = SMTPlan(mode="matrix", linears=linears)
+        idx = stack_plan_indices(plan, L)
 
-        trainable = plan.gather(params["layers"])
-        state = init_sparse_state(params, trainable, step=0)
-        from sparse_matrix_tuning_tpu.train.convert import (
-            build_qweights, frozen_offload_active, offload_frozen_to_host,
-            resolve_frozen_quant)
-        if resolve_frozen_quant(cfg, plan.mode) == "int8":
-            state["q"] = build_qweights(params["layers"], plan)
-            if frozen_offload_active(cfg, plan.mode, None):
-                state, _ = offload_frozen_to_host(state, keep_host=False)
-        del params, trainable
-        sched = make_lr_schedule("constant", 1e-5, 0, 100)
-        step_fn = jax.jit(build_sparse_step(cfg, big, plan, sched),
-                          donate_argnums=(0,))
+        def gen_quant(key, rb, cb, shape):
+            w = jax.random.normal(key, shape, jnp.bfloat16) * 0.02
+            wq, sw = quantize_weight(w)
+            w4 = w.reshape(shape[0] // BLOCK, BLOCK, shape[1] // BLOCK, BLOCK)
+            t = w4[rb, :, cb, :].astype(jnp.float32)
+            wd = (wq.astype(jnp.float32) * sw[:, None]).reshape(w4.shape)
+            return wq, sw, t, wd[rb, :, cb, :]
+
+        gen_quant = jax.jit(gen_quant, static_argnums=(3,))
+        mods = {"q_proj": (H, H), "k_proj": (HKV * 128, H),
+                "v_proj": (HKV * 128, H), "o_proj": (H, H),
+                "gate_proj": (F, H), "up_proj": (F, H), "down_proj": (H, F)}
+        key = jax.random.PRNGKey(0)
+        q, trainable, base = {}, {}, {}
+        total_params = VOCAB * H * 2 + H
+        zero_idx = jnp.zeros((1,), jnp.int32)
+        for mod, (o, i) in mods.items():
+            total_params += L * o * i
+            meta = idx.get(mod)
+            wqs, sws, ts, bs = [], [], [], []
+            for l in range(L):
+                key, sub = jax.random.split(key)
+                rb = meta["rb"][l] if meta is not None else zero_idx
+                cb = meta["cb"][l] if meta is not None else zero_idx
+                wq, sw, t_, b_ = gen_quant(sub, rb, cb, (o, i))
+                wqs.append(wq)
+                sws.append(sw)
+                if meta is not None:
+                    ts.append(t_)
+                    bs.append(b_)
+            q[mod] = {"wq": jnp.stack(wqs), "sw": jnp.stack(sws)}
+            if meta is not None:
+                trainable[mod] = jnp.stack(ts)
+                base[mod] = jnp.stack(bs)
+
+        stacked = {n: jnp.ones((L, H), jnp.bfloat16)
+                   for n in ("input_layernorm", "post_attention_layernorm")}
+        for mod in mods:  # host-offloaded placeholders
+            stacked[mod] = jnp.zeros((L, 1), jnp.bfloat16)
+        key, k1, k2 = jax.random.split(key, 3)
+        state = {
+            "params": {
+                "embed_tokens": jax.random.normal(k1, (VOCAB, H),
+                                                  jnp.bfloat16) * 0.02,
+                "lm_head": jax.random.normal(k2, (VOCAB, H),
+                                             jnp.bfloat16) * 0.02,
+                "norm": jnp.ones((H,), jnp.bfloat16),
+                "layers_stacked": stacked,
+            },
+            "trainable": trainable, "base": base, "idx": idx,
+            "m": jax.tree.map(jnp.zeros_like, trainable),
+            "v": jax.tree.map(jnp.zeros_like, trainable),
+            "count": jnp.zeros((), jnp.int32),
+            "step": jnp.zeros((), jnp.int32),
+            "q": q,
+        }
+        step_fn = jax.jit(build_scan_sparse_step(
+            cfg, big, plan, make_lr_schedule("constant", 1e-5, 0, 100)),
+            donate_argnums=(0,))
         big_batch = make_batch(big, bsz, seq)
 
         class _T:  # minimal trainer shim for time_steps
@@ -219,14 +269,6 @@ def run_phase(phase: str, small: bool) -> dict:
 
         t = _T(state)
         sec = time_steps(t, big_batch)
-        total_params = sum(int(np.prod(p.shape))
-                           for p in jax.tree.leaves(t.state["params"]))
-        # host-offloaded frozen weights left (0,)-placeholders behind:
-        # count them via their int8 copies
-        for ks, q in t.state.get("q", {}).items():
-            li, mod = ks.split(".", 1)
-            if t.state["params"]["layers"][li][mod].ndim != 2:
-                total_params += int(np.prod(q["wq"].shape))
         return {"sec_per_step": sec, "tokens": bsz * seq,
                 "total_params": total_params,
                 "trainable_params": plan.trainable_params,
@@ -328,8 +370,11 @@ def main():
             "trainable_params": big["trainable_params"],
             "tokens_per_sec_per_chip": round(big["tokens"] / big["sec_per_step"], 1),
             "sec_per_step": round(big["sec_per_step"], 4),
-            "note": ("SMT sparse phase of a >2B model on one 16G chip; "
-                     "full FT of it needs >=33GB of optimizer/grad state"),
+            "live_hbm_bytes": big.get("live_hbm_bytes", 0),
+            "note": ("SMT sparse phase of the FULL Llama-3-8B geometry "
+                     "(8.03B params) on one 16G chip — int8 frozen base + "
+                     "host offload + scan-over-layers; full FT of it needs "
+                     ">=145GB of optimizer/grad state"),
         }
     elif big is not None:
         result["detail"]["big_model"] = big

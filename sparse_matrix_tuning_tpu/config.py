@@ -116,6 +116,11 @@ class SMTConfig:
     # forward as training (without offload it reads the exact bf16 dense
     # weights).
     frozen_host_offload: bool = True
+    # sparse-phase layer loop: "off" = unrolled (one program copy per
+    # layer), "on" = ONE lax.scan over stacked layers (depth-independent
+    # compile time; train/scan_phase.py), "auto" = scan for matrix-mode
+    # models >= 12 layers
+    scan_layers: str = "auto"
     # loss implementation: "full" (materialise (B,S,V) fp32 logits),
     # "chunked" (fused head+CE over vocab chunks, ops/loss.py), "auto"
     # (chunked for real vocabularies, full for tiny test models)
@@ -170,6 +175,8 @@ class SMTConfig:
             raise ValueError(f"unknown attn_impl {self.attn_impl!r}")
         if self.frozen_quant not in ("none", "int8", "auto"):
             raise ValueError(f"unknown frozen_quant {self.frozen_quant!r}")
+        if self.scan_layers not in ("off", "on", "auto"):
+            raise ValueError(f"unknown scan_layers {self.scan_layers!r}")
         if self.loss_impl not in ("full", "chunked", "auto"):
             raise ValueError(f"unknown loss_impl {self.loss_impl!r}")
 
@@ -257,6 +264,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["none", "int8", "auto"])
     p.add_argument("--no_frozen_host_offload", dest="frozen_host_offload",
                    action="store_false")
+    p.add_argument("--scan_layers", type=str, default=d.scan_layers,
+                   choices=["off", "on", "auto"])
     p.add_argument("--mesh_shape", type=int, nargs="*", default=None,
                    help="data fsdp tensor mesh dims; default = all devices on fsdp")
     p.add_argument("--seq_buckets", type=int, nargs="*", default=None)

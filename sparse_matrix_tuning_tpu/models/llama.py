@@ -396,6 +396,92 @@ def lm_head_weight(params: Mapping[str, Any], cfg: LlamaConfig) -> jax.Array:
     return params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
 
 
+def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
+                 cfg: LlamaConfig, *,
+                 layer_xs=None,
+                 linear_scan=None,
+                 attention_mask: Optional[jax.Array] = None,
+                 positions: Optional[jax.Array] = None,
+                 remat: bool = False,
+                 stop_grad_below_layer: Optional[int] = None,
+                 attn_impl: str = "einsum",
+                 return_hidden: bool = False) -> jax.Array:
+    """forward() with the layer loop as ONE lax.scan over stacked layer
+    params — the training-side sibling of the scan decode path
+    (forward_with_cache stacked=True). Compile time becomes depth-
+    independent: one traced layer body instead of L copies (measured: the
+    unrolled 32-layer sparse step compiles ~16 min on the v5e tunnel; the
+    scan form compiles like a 1-layer model).
+
+    params: non-layer leaves + "layers_stacked" {module: (L, ...)} (see
+    stack_layers). layer_xs: optional extra pytree with leading-L leaves,
+    sliced per scan step and handed to `linear_scan(x, w, module, ex)` —
+    the scan-side sparse dispatch (per-layer trainable blocks / coords /
+    int8 base live here; coordinates are traced, ops/sparse_linear.py
+    smt_linear_dyn). No dropout (scan is a sparse-phase path; reference
+    sparse training runs dropout-free by default).
+
+    stop_grad_below_layer is honored semantically (grads below are zero,
+    torch-autograd parity P18) — but unlike the unrolled form XLA cannot
+    DCE the skipped layers' backward work out of a scan, so the perf
+    benefit of a high cut is lost; deep models usually select low layers
+    anyway."""
+    b, s = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    if positions is None:
+        positions = jnp.cumsum(attention_mask, axis=-1) - 1
+        positions = jnp.maximum(positions, 0)
+
+    x = jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    keep = causal[None, :, :] & (attention_mask[:, None, :] > 0)
+    mask_bias = jnp.where(keep, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
+
+    cos, sin = _rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    attn_impl = resolve_attn_impl(attn_impl, s, cfg.head_dim)
+
+    layer_fn = _decoder_layer
+    if remat:
+        layer_fn = jax.checkpoint(_decoder_layer,
+                                  static_argnums=(5, 6, 7, 8),
+                                  policy=jax.checkpoint_policies.nothing_saveable)
+
+    n_layers = cfg.num_hidden_layers
+    stop_flags = jnp.zeros((n_layers,), bool)
+    if stop_grad_below_layer is not None:
+        stop_flags = stop_flags.at[min(stop_grad_below_layer,
+                                       n_layers - 1)].set(
+            stop_grad_below_layer < n_layers)
+
+    xs = {"lp": params["layers_stacked"], "stop": stop_flags}
+    if layer_xs is not None:
+        xs["ex"] = layer_xs
+
+    def body(x, xs_l):
+        x = jnp.where(xs_l["stop"], jax.lax.stop_gradient(x), x)
+        if linear_scan is not None:
+            ex = xs_l["ex"]
+
+            def linear(h, w, module, layer_idx):
+                del layer_idx
+                return linear_scan(h, w, module, ex)
+        else:
+            linear = default_linear
+        x = layer_fn(xs_l["lp"], x, mask_bias, cos, sin, cfg, linear, 0,
+                     attn_impl)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, xs)
+
+    x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    if return_hidden:
+        return x
+    head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.einsum("bsd,vd->bsv", x, head).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # KV-cache forward (generation)
 # ---------------------------------------------------------------------------

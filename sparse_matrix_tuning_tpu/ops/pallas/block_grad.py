@@ -48,16 +48,24 @@ def _kernel(rb_ref, cb_ref, g_ref, x_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _block_grad_weight_impl(g2, x2, row_blocks: tuple, col_blocks: tuple):
-    n = len(row_blocks)
+    rb = jnp.asarray(np.asarray(row_blocks, np.int32))
+    cb = jnp.asarray(np.asarray(col_blocks, np.int32))
+    return block_grad_weight_dyn(g2, x2, rb, cb)
+
+
+def block_grad_weight_dyn(g2, x2, rb, cb) -> jax.Array:
+    """Same kernel with TRACED (n,) int32 block indices — the scan-over-
+    layers path feeds per-layer coordinate arrays. The indices were already
+    scalar-prefetch operands, so nothing changes at the kernel level."""
+    rb = rb.astype(jnp.int32)
+    cb = cb.astype(jnp.int32)
+    n = rb.shape[0]
     t = g2.shape[0]
     t_pad = -t % T_TILE
     if t_pad:
         g2 = jnp.pad(g2, ((0, t_pad), (0, 0)))
         x2 = jnp.pad(x2, ((0, t_pad), (0, 0)))
     num_t = g2.shape[0] // T_TILE
-
-    rb = jnp.asarray(np.asarray(row_blocks, np.int32))
-    cb = jnp.asarray(np.asarray(col_blocks, np.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -130,10 +130,10 @@ def smt_linear(x, blocks, w, lp: LinearPlan, impl: str = "oracle"):
 # training through a quantized frozen base: QLoRA (4-bit + LoRA).
 
 def _zero_cotangent(x):
-    """Cotangent for a frozen primal: float0 for int dtypes (jax's tangent
-    type for integers), zeros otherwise. Both are DCE'd — the trainer only
-    differentiates w.r.t. the trainable blocks."""
-    if jnp.issubdtype(x.dtype, jnp.integer):
+    """Cotangent for a frozen primal: float0 for int/bool dtypes (jax's
+    tangent type for them), zeros otherwise. Both are DCE'd — the trainer
+    only differentiates w.r.t. the trainable blocks."""
+    if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_:
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
     return jnp.zeros_like(x)
 
@@ -253,6 +253,128 @@ def _frozen_q8_bwd(res, g):
 
 
 frozen_q8_linear.defvjp(_frozen_q8_fwd, _frozen_q8_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-index (scan-over-layers) matrix sparsity
+# ---------------------------------------------------------------------------
+#
+# Inside a lax.scan over layers the selected block coordinates cannot be
+# Python constants (they differ per layer), so this variant takes them as
+# traced (n,) int32 arrays plus a validity mask (block lists are padded to
+# the per-module max count; padded entries have delta forced to 0 and their
+# grads masked). Both precisions share one formulation around a NEVER
+# UPDATED frozen base:
+#
+#   y      = base_matmul(x, W_frozen)  +  x[:, cb_j] @ delta_j.T   at rows rb_j
+#   grad_x = base_matmul_T(g)          +  g[:, rb_j] @ delta_j     at cols cb_j
+#   delta_j = (blocks_j - base_blocks_j) * valid_j
+#
+# where base_matmul is the dense bf16 matmul (base_blocks = conversion-time
+# block values) or the int8 q8_matmul (base_blocks = dequantized values) —
+# so the scan path needs no per-step scatter into the dense weights at all.
+# Corrections are sequential dynamic 256-column slice updates (contiguous,
+# cheap on TPU) rather than index-array scatters (which serialize, see
+# _grouped_correction notes).
+
+def _dyn_correction(out2, src2, delta_mats, idx_out, idx_in):
+    """out2[:, o_j*256:+256] += src2[:, i_j*256:+256] @ delta_mats[j], with
+    o = idx_out, i = idx_in traced. Sequential over the (small, static)
+    padded block count; duplicate idx_out entries chain correctly."""
+    n = delta_mats.shape[0]
+    for j in range(n):
+        src = jax.lax.dynamic_slice_in_dim(src2, idx_in[j] * BLOCK, BLOCK,
+                                           axis=1)
+        corr = jax.lax.dot_general(src, delta_mats[j], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        cur = jax.lax.dynamic_slice_in_dim(out2, idx_out[j] * BLOCK, BLOCK,
+                                           axis=1)
+        upd = (cur.astype(jnp.float32) + corr).astype(out2.dtype)
+        out2 = jax.lax.dynamic_update_slice_in_dim(out2, upd,
+                                                   idx_out[j] * BLOCK, axis=1)
+    return out2
+
+
+def _base_matmul(x, wq_or_w):
+    if "wq" in wq_or_w:
+        from sparse_matrix_tuning_tpu.ops.quant import q8_matmul_t
+        return q8_matmul_t(x, wq_or_w["wq"], wq_or_w["sw"])
+    return jnp.einsum("...i,oi->...o", x, wq_or_w["w"])
+
+
+def _base_matmul_T(g, wq_or_w):
+    if "wq" in wq_or_w:
+        from sparse_matrix_tuning_tpu.ops.quant import q8_matmul
+        return q8_matmul(g, wq_or_w["wq"], wq_or_w["sw"])
+    return jnp.einsum("...o,oi->...i", g, wq_or_w["w"])
+
+
+def _dyn_delta(blocks, base_blocks, valid, dtype):
+    return ((blocks - base_blocks)
+            * valid.astype(blocks.dtype)[:, None, None]).astype(dtype)
+
+
+def _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks):
+    y = _base_matmul(x, frozen)
+    delta = _dyn_delta(blocks, base_blocks, valid, x.dtype)
+    t_shape = x.shape[:-1]
+    y2 = _dyn_correction(y.reshape(-1, y.shape[-1]),
+                         x.reshape(-1, x.shape[-1]),
+                         delta.transpose(0, 2, 1), rb, cb)
+    return y2.reshape(*t_shape, y.shape[-1])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def smt_linear_dyn(impl: str, x, blocks, rb, cb, valid, frozen, base_blocks):
+    """Block-sparse linear with traced block coordinates (scan path).
+
+    frozen: {"w": (O, I)} bf16 dense or {"wq": int8, "sw": fp32} q8 base —
+    NEVER updated during the sparse phase. blocks/base_blocks: (n, 256,
+    256); rb/cb: (n,) int32; valid: (n,) bool."""
+    return _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks)
+
+
+def _smt_linear_dyn_fwd(impl, x, blocks, rb, cb, valid, frozen, base_blocks):
+    y = _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks)
+    delta = _dyn_delta(blocks, base_blocks, valid, x.dtype)
+    return y, (x, rb, cb, valid, frozen, delta,
+               jnp.zeros((0,), blocks.dtype))
+
+
+def _smt_linear_dyn_bwd(impl: str, res, g):
+    x, rb, cb, valid, frozen, delta, dtype_probe = res
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+
+    grad_x = _base_matmul_T(g2, frozen)
+    grad_x = _dyn_correction(grad_x, g2, delta, cb, rb).reshape(x.shape)
+
+    if _resolve_impl(impl) == "pallas":
+        from sparse_matrix_tuning_tpu.ops.pallas.block_grad import (
+            block_grad_weight_dyn)
+        grad_blocks = block_grad_weight_dyn(g2, x2, rb, cb)
+    else:
+        grad_blocks = _block_grad_weight_xla_dyn(g2, x2, rb, cb)
+    grad_blocks = (grad_blocks * valid.astype(grad_blocks.dtype)[:, None, None])
+    return (grad_x, grad_blocks.astype(dtype_probe.dtype),
+            _zero_cotangent(rb), _zero_cotangent(cb), _zero_cotangent(valid),
+            jax.tree.map(_zero_cotangent, frozen),
+            jnp.zeros_like(delta, dtype=dtype_probe.dtype))
+
+
+smt_linear_dyn.defvjp(_smt_linear_dyn_fwd, _smt_linear_dyn_bwd)
+
+
+def _block_grad_weight_xla_dyn(g2, x2, rb, cb):
+    """XLA oracle with traced block indices (jnp.take gathers)."""
+    t = g2.shape[0]
+    g_rows = jnp.take(g2.reshape(t, -1, BLOCK), rb, axis=1).transpose(1, 0, 2)
+    x_cols = jnp.take(x2.reshape(t, -1, BLOCK), cb, axis=1).transpose(1, 0, 2)
+    return jax.lax.dot_general(
+        g_rows, x_cols,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -128,8 +128,11 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
 
     def _fit(spec: P, shape) -> P:
         """Drop sharding on axes that do not divide the dimension evenly
-        (device_put, unlike GSPMD propagation, refuses uneven shards)."""
+        (device_put, unlike GSPMD propagation, refuses uneven shards).
+        Also truncates to the leaf's rank (host-offload placeholders have
+        fewer dims than their spec)."""
         out = []
+        spec = P(*tuple(spec)[:len(shape)])
         for d, names in enumerate(spec):
             if names is None:
                 out.append(None)
@@ -144,6 +147,10 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
 
     _PARAM_TOPS = ("embed_tokens", "norm", "layers", "lm_head")
 
+    def _stacked_trainable_pspec():
+        # scan layout: (L, n, 256, 256) — shard the intra-block row dim
+        return P(None, None, "fsdp", None)
+
     def spec_for(path, leaf):
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]
         top = keys[0]
@@ -154,6 +161,8 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
             # sparse phase: it mirrors the flat trainable dict.
             if len(keys) > 1 and keys[1] in _PARAM_TOPS:
                 return _param_leaf_spec(keys[1:])
+            if getattr(leaf, "ndim", 0) == 4:
+                return _stacked_trainable_pspec()  # scan layout (L,n,256,256)
             return trainable_pspec(plan_mode) if plan_mode else P()
         if top == "acc":
             _, module = keys[1].split(".", 1)
@@ -161,16 +170,27 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
         if top == "act_acc":
             return P(None, "tensor")
         if top == "trainable":
+            if getattr(leaf, "ndim", 0) == 4:
+                return _stacked_trainable_pspec()  # scan layout
             return trainable_pspec(plan_mode) if plan_mode else P()
+        if top == "base":  # scan layout: stacked frozen block values
+            return _stacked_trainable_pspec()
+        if top == "idx":   # tiny coordinate arrays: replicate
+            return P()
         if top == "q":
-            # frozen int8 base: {ks: {"wq" (O,I), "sw" (O,), "base" (n,256,256)}}
-            _, module = keys[1].split(".", 1)
+            # frozen int8 base — unrolled: {"{li}.{mod}": {"wq" (O,I),
+            # "sw" (O,), "base" (n,256,256)}}; scan: {"{mod}": {"wq"
+            # (L,O,I), "sw" (L,O)}}
+            stacked = "." not in keys[1]
+            module = keys[1] if stacked else keys[1].split(".", 1)[1]
             field = keys[2]
             if field == "wq":
-                return _weight_pspec(module)
+                w = _weight_pspec(module)
+                return P(None, *w) if stacked else w
             if field == "sw":  # indexed by the weight's OUT dim
-                return P(_weight_pspec(module)[0])
-            return trainable_pspec("matrix")  # base blocks
+                out_axis = _weight_pspec(module)[0]
+                return P(None, out_axis) if stacked else P(out_axis)
+            return trainable_pspec("matrix")  # base blocks (unrolled only)
         return P()
 
     def _param_leaf_spec(sub):
@@ -187,6 +207,11 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
             if name.endswith("layernorm") or name.endswith("_bias"):
                 return P()
             return _weight_pspec(name)
+        if sub[0] == "layers_stacked":
+            name = sub[1]
+            if name.endswith("layernorm") or name.endswith("_bias"):
+                return P()
+            return P(None, *_weight_pspec(name))
         return P()
 
     return jax.tree_util.tree_map_with_path(

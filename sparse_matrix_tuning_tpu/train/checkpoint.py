@@ -84,32 +84,49 @@ def restore_checkpoint(path: str, trainer) -> None:
 
     template = jax.tree.map(lambda x: x, trainer.state)
     host_frozen = None
+    scan = False
     if meta["phase"] == "sparse" and trainer.phase == "warmup":
         # build a structural template for the sparse state
         from sparse_matrix_tuning_tpu.train.convert import (
             build_qweights, offload_frozen_to_host, resolve_frozen_quant)
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            build_scan_sparse_state, offload_scan_frozen_to_host,
+            resolve_scan_layers)
         from sparse_matrix_tuning_tpu.train.steps import init_sparse_state
-        master = trainer.state["master"]
-        params = jax.tree.map(lambda p: p.astype(trainer.cfg.param_dtype), master)
-        trainable = plan.gather(master["layers"])
-        template = init_sparse_state(params, trainable, step=0)
-        # NB: frozen_quant="auto" resolves by platform, so a checkpoint must
-        # be restored on the same backend class it was written on
-        if resolve_frozen_quant(trainer.cfg, plan.mode) == "int8":
-            template["q"] = build_qweights(master["layers"], plan)
+        scan = resolve_scan_layers(trainer.cfg, trainer.model_cfg, plan.mode)
         host_frozen = _load_host_frozen(path)
-        if host_frozen is not None:
-            # the checkpoint was written with the dense weights on host —
-            # match its placeholder structure (values come from the sidecar,
-            # which holds the conversion-time warm-up-trained weights)
-            template, _ = offload_frozen_to_host(template, keep_host=False)
+        master = trainer.state["master"]
+        if scan:
+            template = build_scan_sparse_state(trainer.cfg, trainer.state,
+                                               plan, trainer.model_cfg)
+            if host_frozen is not None:
+                template, _ = offload_scan_frozen_to_host(template,
+                                                          keep_host=False)
+        else:
+            params = jax.tree.map(lambda p: p.astype(trainer.cfg.param_dtype),
+                                  master)
+            trainable = plan.gather(master["layers"])
+            template = init_sparse_state(params, trainable, step=0)
+            # NB: frozen_quant="auto" resolves by platform, so a checkpoint
+            # must be restored on the same backend class it was written on
+            if resolve_frozen_quant(trainer.cfg, plan.mode) == "int8":
+                template["q"] = build_qweights(master["layers"], plan)
+            if host_frozen is not None:
+                # the checkpoint was written with the dense weights on host
+                # — match its placeholder structure (values come from the
+                # sidecar: the conversion-time warm-up-trained weights)
+                template, _ = offload_frozen_to_host(template,
+                                                     keep_host=False)
 
     restored = _ckptr().restore(os.path.join(os.path.abspath(path), "state"),
                                 item=template)
+    was_warmup = trainer.phase == "warmup"
     trainer.state = restored
     trainer.best_eval_loss = meta["best_eval_loss"]
     if meta["phase"] == "sparse":
         trainer.plan = plan
-        trainer._host_frozen = host_frozen
+        if was_warmup:  # already-converted trainers keep their own flags
+            trainer._scan = scan
+            trainer._host_frozen = host_frozen
         trainer.install_sparse_phase()
     trainer._place_state(plan_mode=plan.mode if plan else None)

@@ -193,10 +193,14 @@ def _assert_cross_host_agreement(plan: SMTPlan):
     multihost_utils.assert_equal(fp, "SMT selection plans diverged across hosts")
 
 
-def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes) -> Tuple[SMTPlan, Dict]:
+def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes,
+            model_cfg=None, scan: bool = False) -> Tuple[SMTPlan, Dict]:
     """Run selection and build the phase-2 state. The warm-up optimizer
     state, master copies and accumulators are dropped (reference deletes
-    optimizer/scheduler/grad dicts, fine_tune.py:352-358)."""
+    optimizer/scheduler/grad dicts, fine_tune.py:352-358).
+
+    scan=True builds the stacked scan-over-layers state instead
+    (train/scan_phase.py; requires model_cfg)."""
     from sparse_matrix_tuning_tpu.train.steps import init_sparse_state
 
     plan = build_plan(cfg, warmup_state, all_2d_shapes)
@@ -205,6 +209,11 @@ def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes) -> Tuple[SMTPlan,
             "SMT selection produced zero trainable blocks/channels — the "
             "downsample ratios are too small for this model's block count "
             "(the denominator counts ALL 2-D params, fine_tune.py:231-241).")
+    if scan:
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            build_scan_sparse_state)
+        return plan, build_scan_sparse_state(cfg, warmup_state, plan,
+                                             model_cfg)
     master = warmup_state["master"]
     params = jax.tree.map(lambda p: p.astype(cfg.param_dtype), master)
     trainable = plan.gather(master["layers"], dtype=jnp.float32)

@@ -1,0 +1,304 @@
+"""Scan-over-layers sparse phase: state builder + step function.
+
+The unrolled sparse step (train/steps.build_sparse_step) traces one program
+copy per decoder layer; at 32 layers that compiles ~16 min over the v5e
+tunnel and would be O(hours) at 70B/80-layer depth. This module rebuilds
+the sparse phase around models.llama.forward_scan — ONE lax.scan body over
+stacked layer params — so compile time is depth-independent (the same move
+the decode path already made, llama.stack_layers).
+
+What changes vs the unrolled phase:
+  * per-layer block coordinates become traced (n,) arrays, padded to the
+    per-module max count with inert duplicates (ops/sparse_linear.py
+    smt_linear_dyn; dummy deltas are masked to zero and dummy grads zeroed)
+  * the dense weights are NEVER scattered into: both precisions compute
+    y = base_matmul(x, W_frozen) + x[:, cb] @ (blocks - base).T, where the
+    frozen base is the conversion-time dense weight (bf16) or its int8
+    quantization (mathematically identical to the unrolled scatter-at-
+    update forward; fp association differs by one add)
+  * state is keyed per MODULE ("q_proj") with stacked (L, ...) leaves,
+    instead of per linear ("3.q_proj")
+
+Reference mapping: same semantics as the unrolled phase (smt.py:302-413
+linearZ, fine_tune.py:366-372 optimizer), reorganised for XLA compile
+scaling — the reference (torch eager) has no compile-time dimension at all.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_matrix_tuning_tpu.config import SMTConfig
+from sparse_matrix_tuning_tpu.models.llama import (
+    LlamaConfig, forward_scan, lm_head_weight,
+)
+from sparse_matrix_tuning_tpu.ops.sparse_linear import (
+    _resolve_impl, frozen_q8_linear, smt_linear_dyn,
+)
+from sparse_matrix_tuning_tpu.smt.optimizer import (
+    AdamConfig, adam_step, clip_by_global_norm, make_qk_lr_scale,
+)
+from sparse_matrix_tuning_tpu.smt.plan import BLOCK, SMTPlan
+
+
+def resolve_scan_layers(cfg: SMTConfig, model_cfg: LlamaConfig,
+                        mode: str) -> bool:
+    """"auto" enables the scan phase for deep matrix-mode models (where the
+    unrolled compile time bites); channel mode and dropout runs stay
+    unrolled (unsupported in the scan dispatch)."""
+    if cfg.scan_layers == "off":
+        return False
+    supported = (mode == "matrix" and cfg.dropout <= 0
+                 and cfg.dtype != "fp16")
+    if cfg.scan_layers == "on":
+        if not supported:
+            raise ValueError("scan_layers=on requires matrix mode, "
+                             "dropout=0 and dtype != fp16")
+        return True
+    return supported and model_cfg.num_hidden_layers >= 12
+
+
+def stack_plan_indices(plan: SMTPlan, n_layers: int) -> Dict[str, Dict]:
+    """Per-module stacked coordinate arrays: {"rb"/"cb": (L, n) int32,
+    "valid": (L, n) bool}. Layers with fewer (or zero) blocks are padded
+    with duplicates of their first entry (coords (0,0) when the layer has
+    none) — inert because deltas are masked by `valid` and grads zeroed."""
+    mods = sorted({lp.module for lp in plan.linears.values()})
+    out = {}
+    for mod in mods:
+        per_layer = {lp.layer: lp for lp in plan.linears.values()
+                     if lp.module == mod}
+        n_max = max(len(lp.blocks) for lp in per_layer.values())
+        rb = np.zeros((n_layers, n_max), np.int32)
+        cb = np.zeros((n_layers, n_max), np.int32)
+        valid = np.zeros((n_layers, n_max), bool)
+        for l in range(n_layers):
+            lp = per_layer.get(l)
+            if lp is None:
+                continue
+            k = len(lp.blocks)
+            rb[l, :k] = lp.row_blocks()
+            cb[l, :k] = lp.col_blocks()
+            valid[l, :k] = True
+            rb[l, k:] = rb[l, 0]
+            cb[l, k:] = cb[l, 0]
+        out[mod] = {"rb": jnp.asarray(rb), "cb": jnp.asarray(cb),
+                    "valid": jnp.asarray(valid)}
+    return out
+
+
+def _gather_blocks(w, rb, cb):
+    """(O, I) weight + (n,) coords -> (n, 256, 256) fp32 (traced coords)."""
+    w4 = w.reshape(w.shape[0] // BLOCK, BLOCK, w.shape[1] // BLOCK, BLOCK)
+    return w4[rb, :, cb, :].astype(jnp.float32)
+
+
+def build_scan_sparse_state(cfg: SMTConfig, warmup_state: Dict,
+                            plan: SMTPlan, model_cfg: LlamaConfig) -> Dict:
+    """Stacked phase-2 state from the warm-up master (mirrors
+    convert.convert + steps.init_sparse_state for the scan layout)."""
+    from sparse_matrix_tuning_tpu.ops.quant import quantize_weight
+    from sparse_matrix_tuning_tpu.train.convert import (
+        LAYER_LINEARS, resolve_frozen_quant)
+
+    master = warmup_state["master"]
+    L = model_cfg.num_hidden_layers
+    idx = stack_plan_indices(plan, L)
+    use_q8 = resolve_frozen_quant(cfg, plan.mode) == "int8"
+
+    params = {k: v.astype(cfg.param_dtype) for k, v in master.items()
+              if k != "layers"}
+    layer_keys = master["layers"]["0"].keys()
+    stacked = {
+        mod: jnp.stack([master["layers"][str(l)][mod] for l in range(L)]
+                       ).astype(cfg.param_dtype)
+        for mod in layer_keys
+    }
+    params["layers_stacked"] = stacked
+
+    trainable, base, q = {}, {}, {}
+    if use_q8:
+        for mod in LAYER_LINEARS:
+            if mod not in stacked or stacked[mod].ndim != 3:
+                continue
+            per = [quantize_weight(master["layers"][str(l)][mod])
+                   for l in range(L)]
+            q[mod] = {"wq": jnp.stack([p[0] for p in per]),
+                      "sw": jnp.stack([p[1] for p in per])}
+    for mod, meta in idx.items():
+        rows = []
+        brows = []
+        for l in range(L):
+            w = master["layers"][str(l)][mod]
+            rows.append(_gather_blocks(w, meta["rb"][l], meta["cb"][l]))
+            if use_q8:
+                wd = (q[mod]["wq"][l].astype(jnp.float32)
+                      * q[mod]["sw"][l][:, None])
+                brows.append(_gather_blocks(wd, meta["rb"][l], meta["cb"][l]))
+        trainable[mod] = jnp.stack(rows)
+        # bf16 base == initial block values (delta starts at 0); q8 base ==
+        # dequantized frozen values (delta corrects quantization exactly).
+        # A distinct buffer — state leaves must not alias (donation).
+        base[mod] = (jnp.stack(brows) if use_q8
+                     else jnp.array(trainable[mod], copy=True))
+
+    state = {
+        "params": params,
+        "trainable": trainable,
+        "base": base,
+        "idx": idx,
+        "m": jax.tree.map(jnp.zeros_like, trainable),
+        "v": jax.tree.map(jnp.zeros_like, trainable),
+        "count": jnp.zeros((), jnp.int32),
+        "step": jnp.asarray(int(warmup_state["step"]), jnp.int32),
+    }
+    if use_q8:
+        state["q"] = q
+    return state
+
+
+def offload_scan_frozen_to_host(state: Dict, keep_host: bool = True):
+    """Scan-layout twin of convert.offload_frozen_to_host: in int8 mode the
+    stacked dense weights of quantized modules are compute-dead — move them
+    to host, leaving (L, 1) placeholders."""
+    host: Dict[str, np.ndarray] = {}
+    stacked = dict(state["params"]["layers_stacked"])
+    for mod in state["q"]:
+        w = stacked[mod]
+        if keep_host:
+            host[mod] = np.asarray(w)
+        stacked[mod] = jnp.zeros((w.shape[0], 1), w.dtype)
+    params = dict(state["params"])
+    params["layers_stacked"] = stacked
+    new_state = dict(state)
+    new_state["params"] = params
+    return new_state, host
+
+
+def make_scan_dispatch(impl: str):
+    """The linear_scan hook for forward_scan: planned modules run the
+    dynamic-index sparse custom_vjp; other quantized modules the plain q8
+    path; everything else a dense matmul."""
+    def linear_scan(x, w, module: str, ex):
+        qmod = ex.get("q", {}).get(module)
+        t = ex["t"].get(module)
+        if t is not None:
+            meta = ex["idx"][module]
+            frozen = ({"wq": qmod["wq"], "sw": qmod["sw"]}
+                      if qmod is not None else {"w": w})
+            return smt_linear_dyn(impl, x, t, meta["rb"], meta["cb"],
+                                  meta["valid"], frozen, ex["base"][module])
+        if qmod is not None:
+            return frozen_q8_linear(x, qmod["wq"], qmod["sw"])
+        return jnp.einsum("...i,oi->...o", x, w)
+    return linear_scan
+
+
+def _scan_loss(state: Dict, batch: Dict, trainable, cfg: SMTConfig,
+               model_cfg: LlamaConfig, lowest_layer: Optional[int]):
+    from sparse_matrix_tuning_tpu.models.llama import causal_lm_loss
+    from sparse_matrix_tuning_tpu.ops.loss import chunked_causal_lm_loss
+    from sparse_matrix_tuning_tpu.train.steps import _use_chunked_loss
+
+    layer_xs = {"t": trainable, "idx": state["idx"], "base": state["base"]}
+    if "q" in state:
+        layer_xs["q"] = state["q"]
+    kw = dict(layer_xs=layer_xs,
+              linear_scan=make_scan_dispatch(cfg.sparse_impl),
+              attention_mask=batch.get("attention_mask"),
+              remat=cfg.sparse_remat,
+              stop_grad_below_layer=lowest_layer,
+              attn_impl=cfg.attn_impl)
+    if _use_chunked_loss(cfg, model_cfg):
+        hidden = forward_scan(state["params"], batch["input_ids"], model_cfg,
+                              return_hidden=True, **kw)
+        return chunked_causal_lm_loss(hidden,
+                                      lm_head_weight(state["params"], model_cfg),
+                                      batch["labels"], cfg.vocab_chunk)
+    logits = forward_scan(state["params"], batch["input_ids"], model_cfg, **kw)
+    return causal_lm_loss(logits, batch["labels"])
+
+
+def build_scan_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig,
+                           plan: SMTPlan, lr_sched: Callable) -> Callable:
+    """Scan twin of steps.build_sparse_step (same optimizer semantics: qk
+    lr boost keys still match module names; grad clip on the global norm of
+    VALID block grads)."""
+    from sparse_matrix_tuning_tpu.train.steps import accumulated_value_and_grad
+
+    betas = cfg.matrix_adam_betas
+    adam_cfg = AdamConfig(betas=tuple(betas), eps=cfg.adam_eps,
+                          weight_decay=cfg.w_decay, grad_clip=cfg.grad_clip)
+    lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
+    lowest_layer = min(lp.layer for lp in plan.linears.values())
+
+    def step(state: Dict, batch: Dict) -> tuple:
+        def loss_of(trainable, mb):
+            return _scan_loss(state, mb, trainable, cfg, model_cfg,
+                              lowest_layer)
+
+        vag = accumulated_value_and_grad(loss_of, batch,
+                                         cfg.gradient_accumulation_steps)
+        loss, grads = vag(state["trainable"], batch)
+        # zero the padded duplicates' garbage grads before the global norm
+        grads = {mod: g * state["idx"][mod]["valid"].astype(g.dtype)[..., None, None]
+                 for mod, g in grads.items()}
+        grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
+        lr = lr_sched(state["count"])
+        opt_state = {"m": state["m"], "v": state["v"], "count": state["count"]}
+        new_trainable, opt_state = adam_step(grads, opt_state,
+                                             state["trainable"], lr,
+                                             adam_cfg, lr_scale=lr_scale)
+        metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr}
+        new_state = dict(state)
+        new_state.update(trainable=new_trainable, m=opt_state["m"],
+                         v=opt_state["v"], count=opt_state["count"],
+                         step=state["step"] + 1)
+        return new_state, metrics
+
+    return step
+
+
+def build_scan_eval_step(cfg: SMTConfig, model_cfg: LlamaConfig,
+                         plan: SMTPlan) -> Callable:
+    def step(state, batch) -> jax.Array:
+        return _scan_loss(state, batch, state["trainable"], cfg, model_cfg,
+                          lowest_layer=None)
+    return step
+
+
+def merged_params_from_scan(state: Dict, plan: SMTPlan,
+                            model_cfg: LlamaConfig,
+                            host_frozen: Optional[Dict] = None) -> Dict:
+    """Unstack back to the per-layer HF layout with trained blocks scattered
+    in (host-side numpy; exact bf16 export regardless of int8 compute)."""
+    L = model_cfg.num_hidden_layers
+    stacked = state["params"]["layers_stacked"]
+    layers: Dict[str, Dict] = {str(l): {} for l in range(L)}
+    for mod in stacked:
+        if host_frozen is not None and mod in host_frozen:
+            arr = host_frozen[mod]
+        else:
+            arr = np.asarray(stacked[mod])
+        for l in range(L):
+            layers[str(l)][mod] = arr[l].copy() if arr[l].ndim == 2 else arr[l]
+    for mod, meta in state["idx"].items():
+        rb = np.asarray(meta["rb"])
+        cb = np.asarray(meta["cb"])
+        valid = np.asarray(meta["valid"])
+        t = np.asarray(state["trainable"][mod])
+        for l in range(L):
+            w = layers[str(l)][mod]
+            w4 = w.reshape(w.shape[0] // BLOCK, BLOCK,
+                           w.shape[1] // BLOCK, BLOCK)
+            for j in range(valid.shape[1]):
+                if valid[l, j]:
+                    w4[rb[l, j], :, cb[l, j], :] = t[l, j].astype(w.dtype)
+    params = {k: np.asarray(v) for k, v in state["params"].items()
+              if k != "layers_stacked"}
+    params["layers"] = layers
+    return params

@@ -50,6 +50,8 @@ class SMTTrainer:
         # host-RAM store of the frozen bf16 dense weights when the int8
         # sparse phase offloads them (train/convert.py frozen_offload_active)
         self._host_frozen: Optional[Dict[str, np.ndarray]] = None
+        # sparse phase runs scan-over-layers (train/scan_phase.py)
+        self._scan = False
 
         from sparse_matrix_tuning_tpu.parallel.mesh import set_compute_mesh
         set_compute_mesh(mesh)  # shard_map-wrapped kernels read this at trace
@@ -160,11 +162,20 @@ class SMTTrainer:
         if self.step < self.cfg.full_ft_steps:
             return
         t0 = time.time()
-        self.plan, self.state = convert_mod.convert(self.cfg, self.state,
-                                                    self._all_2d_shapes)
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            offload_scan_frozen_to_host, resolve_scan_layers)
+        mode = "matrix" if self.cfg.matrix_sparsity else "channel"
+        self._scan = resolve_scan_layers(self.cfg, self.model_cfg, mode)
+        self.plan, self.state = convert_mod.convert(
+            self.cfg, self.state, self._all_2d_shapes,
+            model_cfg=self.model_cfg, scan=self._scan)
         if convert_mod.frozen_offload_active(self.cfg, self.plan.mode, self.mesh):
-            self.state, self._host_frozen = \
-                convert_mod.offload_frozen_to_host(self.state)
+            if self._scan:
+                self.state, self._host_frozen = \
+                    offload_scan_frozen_to_host(self.state)
+            else:
+                self.state, self._host_frozen = \
+                    convert_mod.offload_frozen_to_host(self.state)
         self._place_state(plan_mode=self.plan.mode)
         self.install_sparse_phase()
 
@@ -189,6 +200,14 @@ class SMTTrainer:
             self.cfg.lr_scheduler_type, self.cfg.smt_lr,
             self.cfg.smt_lr_warmup_steps,
             max(self.total_steps - conversion_step, 1))
+        if self._scan:
+            from sparse_matrix_tuning_tpu.train.scan_phase import (
+                build_scan_eval_step, build_scan_sparse_step)
+            self._sparse_step = self._jit(build_scan_sparse_step(
+                self.cfg, self.model_cfg, self.plan, sparse_sched))
+            self._eval_step = self._jit_eval(build_scan_eval_step(
+                self.cfg, self.model_cfg, self.plan))
+            return
         self._sparse_step = self._jit(
             build_sparse_step(self.cfg, self.model_cfg, self.plan, sparse_sched))
         if self._host_frozen is not None:
@@ -363,6 +382,12 @@ class SMTTrainer:
         weights are reconstructed on host and the trained blocks scattered
         in — export is exact, independent of the int8 compute path."""
         if self.phase == "sparse":
+            if self._scan:
+                from sparse_matrix_tuning_tpu.train.scan_phase import (
+                    merged_params_from_scan)
+                return merged_params_from_scan(self.state, self.plan,
+                                               self.model_cfg,
+                                               self._host_frozen)
             if self._host_frozen is not None:
                 return self._merged_from_host()
             return self.state["params"]
