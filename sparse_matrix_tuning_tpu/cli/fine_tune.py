@@ -56,8 +56,10 @@ def main(argv=None):
         # Llama-family exposes attention_dropout
         import dataclasses as _dc
         model_cfg = _dc.replace(model_cfg, attention_dropout=cfg.dropout)
-    params = load_hf_params(cfg.model_name_or_path, model_cfg,
-                            dtype=cfg.param_dtype)
+    params = None
+    if not cfg.sparse_from_plan:
+        params = load_hf_params(cfg.model_name_or_path, model_cfg,
+                                dtype=cfg.param_dtype)
 
     train_ds, eval_ds = make_supervised_data(
         cfg.data_path[0], tokenizer, cfg.max_seq_len, cfg.eval_set_ratio, cfg.seed)
@@ -73,8 +75,19 @@ def main(argv=None):
     steps_per_epoch = num_batches(len(train_ds), global_bs)
     total_steps = cfg.num_ft_epochs * steps_per_epoch
 
-    trainer = SMTTrainer(cfg, model_cfg, params, total_steps, mesh=mesh)
-    del params
+    if cfg.sparse_from_plan:
+        # sparse-ONLY continuation: warm-up + selection ran elsewhere and
+        # produced this plan; quantize-on-load streams the base checkpoint
+        # into the int8 scan state (full weights never co-reside on device)
+        from sparse_matrix_tuning_tpu.smt.plan import SMTPlan
+        with open(cfg.sparse_from_plan) as f:
+            plan = SMTPlan.from_json(f.read())
+        trainer = SMTTrainer.sparse_scan_from_hf(
+            cfg, cfg.model_name_or_path, plan, total_steps,
+            model_cfg=model_cfg)
+    else:
+        trainer = SMTTrainer(cfg, model_cfg, params, total_steps, mesh=mesh)
+        del params
     if cfg.resume_from:
         restore_checkpoint(cfg.resume_from, trainer)
         print_rank_0(f"[resume] from {cfg.resume_from} at step {trainer.step} "

@@ -121,6 +121,11 @@ class SMTConfig:
     # compile time; train/scan_phase.py), "auto" = scan for matrix-mode
     # models >= 12 layers
     scan_layers: str = "auto"
+    # path to a plan.json from a previous warm-up+selection run: skip
+    # warm-up entirely and quantize-on-load the base checkpoint straight
+    # into the int8 scan sparse state (full-precision weights never
+    # co-reside on device — 8B sparse-trains on one 16G chip)
+    sparse_from_plan: Optional[str] = None
     # loss implementation: "full" (materialise (B,S,V) fp32 logits),
     # "chunked" (fused head+CE over vocab chunks, ops/loss.py), "auto"
     # (chunked for real vocabularies, full for tiny test models)
@@ -266,6 +271,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--scan_layers", type=str, default=d.scan_layers,
                    choices=["off", "on", "auto"])
+    p.add_argument("--sparse_from_plan", type=str, default=None)
     p.add_argument("--mesh_shape", type=int, nargs="*", default=None,
                    help="data fsdp tensor mesh dims; default = all devices on fsdp")
     p.add_argument("--seq_buckets", type=int, nargs="*", default=None)

@@ -26,6 +26,7 @@ scaling — the reference (torch eager) has no compile-time dimension at all.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional
 
 import jax
@@ -159,6 +160,137 @@ def build_scan_sparse_state(cfg: SMTConfig, warmup_state: Dict,
     if use_q8:
         state["q"] = q
     return state
+
+
+def build_scan_state_from_hf(cfg: SMTConfig, model_dir: str, plan: SMTPlan,
+                             model_cfg: Optional[LlamaConfig] = None,
+                             keep_host: bool = True):
+    """Quantize-on-load: stream a local HF checkpoint STRAIGHT into the
+    int8 scan sparse state, one tensor at a time — full-precision weights
+    never co-reside on device (peak transient = one layer linear's bf16).
+
+    This is what makes the 8B-on-one-16G-chip sparse phase (bench
+    `big_model`) real for actual checkpoints: warm-up + selection run
+    elsewhere (e.g. a sharded pod), and the resulting plan.json + base
+    checkpoint continue on a single chip. Returns (state, host_frozen) —
+    host_frozen holds the original bf16 layer weights for exact export
+    (None when keep_host=False).
+
+    Replaces the reference's full-precision model load + ZeRO placement
+    (fine_tune.py:107-131, deepspeed_helpers.py:533-572), which has no
+    quantized-load path at all."""
+    from sparse_matrix_tuning_tpu.models.hf_io import (
+        load_hf_config, _hf_to_tree_name)
+    from sparse_matrix_tuning_tpu.ops.quant import quantize_weight
+    from sparse_matrix_tuning_tpu.train.convert import (
+        LAYER_LINEARS, resolve_frozen_quant)
+
+    import os
+    from safetensors import safe_open
+
+    model_cfg = model_cfg or load_hf_config(model_dir)
+    if resolve_frozen_quant(cfg, plan.mode) != "int8":
+        raise ValueError("quantize-on-load is the int8 path — set "
+                         "--frozen_quant int8 (or auto on TPU); a bf16 "
+                         "continuation can load normally and convert")
+    L = model_cfg.num_hidden_layers
+    idx = stack_plan_indices(plan, L)
+
+    # hf key -> file map
+    st_files = sorted(f for f in os.listdir(model_dir)
+                      if f.endswith(".safetensors"))
+    if not st_files:
+        raise FileNotFoundError(f"no .safetensors in {model_dir} "
+                                "(quantize-on-load requires safetensors)")
+    where = {}
+    for fname in st_files:
+        with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+            for k in f.keys():
+                where[k] = fname
+
+    tree_to_hf = {}
+    for k in where:
+        path = _hf_to_tree_name(k)
+        if path is not None:
+            tree_to_hf[path] = k
+
+    def read(path):
+        k = tree_to_hf[path]
+        with safe_open(os.path.join(model_dir, where[k]),
+                       framework="np") as f:
+            return f.get_tensor(k)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def quant_gather(w, rb, cb):
+        wq, sw = quantize_weight(w)
+        w4 = w.reshape(w.shape[0] // BLOCK, BLOCK, w.shape[1] // BLOCK, BLOCK)
+        t = w4[rb, :, cb, :].astype(jnp.float32)
+        wd = (wq.astype(jnp.float32) * sw[:, None]).reshape(w4.shape)
+        return wq, sw, t, wd[rb, :, cb, :]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def quant_only(w):  # unplanned modules; shape need not be 256-divisible
+        return quantize_weight(w)
+
+    q, trainable, base, host = {}, {}, {}, {}
+    stacked: Dict[str, jax.Array] = {}
+    other_layer_keys = set()
+    for mod in LAYER_LINEARS:
+        if ("layers", "0", mod) not in tree_to_hf:
+            continue
+        meta = idx.get(mod)
+        wqs, sws, ts, bs, hs = [], [], [], [], []
+        for l in range(L):
+            w_host = read(("layers", str(l), mod))
+            if keep_host:
+                hs.append(w_host)
+            w = jnp.asarray(w_host).astype(cfg.param_dtype)
+            if meta is not None:
+                wq, sw, t, b = quant_gather(w, meta["rb"][l], meta["cb"][l])
+                ts.append(t)
+                bs.append(b)
+            else:
+                wq, sw = quant_only(w)
+            wqs.append(wq)
+            sws.append(sw)
+        q[mod] = {"wq": jnp.stack(wqs), "sw": jnp.stack(sws)}
+        if meta is not None:
+            trainable[mod] = jnp.stack(ts)
+            base[mod] = jnp.stack(bs)
+        if keep_host:
+            host[mod] = np.stack(hs)
+        stacked[mod] = jnp.zeros((L, 1), jnp.bfloat16)  # offloaded
+
+    # non-quantized per-layer leaves (layernorms, qkv biases)
+    for path in tree_to_hf:
+        if path[0] == "layers" and path[2] not in q:
+            other_layer_keys.add(path[2])
+    for name in sorted(other_layer_keys):
+        stacked[name] = jnp.stack(
+            [jnp.asarray(read(("layers", str(l), name))).astype(cfg.param_dtype)
+             for l in range(L)])
+
+    params: Dict = {"layers_stacked": stacked}
+    for top in ("embed_tokens", "norm", "lm_head"):
+        if (top,) in tree_to_hf:
+            params[top] = jnp.asarray(read((top,))).astype(cfg.param_dtype)
+    if model_cfg.tie_word_embeddings:
+        params.pop("lm_head", None)
+    elif "lm_head" not in params:
+        params["lm_head"] = params["embed_tokens"]
+
+    state = {
+        "params": params,
+        "trainable": trainable,
+        "base": base,
+        "idx": idx,
+        "m": jax.tree.map(jnp.zeros_like, trainable),
+        "v": jax.tree.map(jnp.zeros_like, trainable),
+        "count": jnp.zeros((), jnp.int32),
+        "step": jnp.zeros((), jnp.int32),
+        "q": q,
+    }
+    return state, (host if keep_host else None)
 
 
 def offload_scan_frozen_to_host(state: Dict, keep_host: bool = True):

@@ -71,6 +71,48 @@ class SMTTrainer:
         self.best_eval_loss = float("inf")
         self.reporter: Optional[ThroughputReporter] = None
 
+    @classmethod
+    def sparse_scan_from_hf(cls, cfg: SMTConfig, model_dir: str, plan: SMTPlan,
+                            total_steps: int, model_cfg=None):
+        """Sparse-ONLY trainer via quantize-on-load (scan_phase.
+        build_scan_state_from_hf): warm-up + selection ran elsewhere (e.g.
+        a sharded pod) and produced `plan`; the sparse phase continues
+        from the base checkpoint on hardware the full-precision model
+        cannot fit — full weights never co-reside on device. Single-
+        process/single-device (the regime that needs it).
+
+        The reference has no analogue: its sparse phase always starts from
+        the in-memory warm-up model (fine_tune.py:257-401)."""
+        from sparse_matrix_tuning_tpu.models.hf_io import load_hf_config
+        from sparse_matrix_tuning_tpu.parallel.mesh import set_compute_mesh
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            build_scan_state_from_hf)
+
+        model_cfg = model_cfg or load_hf_config(model_dir)
+        if plan.mode != "matrix" or cfg.dropout > 0 or cfg.dtype == "fp16":
+            raise ValueError("sparse_scan_from_hf requires matrix mode, "
+                             "dropout=0 and dtype != fp16 (scan phase)")
+
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.total_steps = int(total_steps)
+        self.mesh = None
+        self.plan = plan
+        self.phase = "sparse"
+        self._scan = True
+        self._all_2d_shapes = None
+        self._warmup_step = None
+        self._channel_step = None
+        self.history = {"train_loss": [], "eval_loss": [], "ppl": []}
+        self.best_eval_loss = float("inf")
+        self.reporter = None
+        set_compute_mesh(None)
+        self.state, self._host_frozen = build_scan_state_from_hf(
+            cfg, model_dir, plan, model_cfg)
+        self.install_sparse_phase()
+        return self
+
     # -- jit / sharding helpers ------------------------------------------------
 
     def _jit(self, fn):
