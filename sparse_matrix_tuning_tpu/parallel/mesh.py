@@ -145,7 +145,8 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
     def named(spec, leaf):
         return NamedSharding(mesh, _fit(spec, getattr(leaf, "shape", ())))
 
-    _PARAM_TOPS = ("embed_tokens", "norm", "layers", "lm_head")
+    _PARAM_TOPS = ("embed_tokens", "norm", "layers", "layers_stacked",
+                   "lm_head")
 
     def _stacked_trainable_pspec():
         # scan layout: (L, n, 256, 256) — shard the intra-block row dim
@@ -165,6 +166,8 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
                 return _stacked_trainable_pspec()  # scan layout (L,n,256,256)
             return trainable_pspec(plan_mode) if plan_mode else P()
         if top == "acc":
+            if "." not in keys[1]:  # scan warm-up: (L, RB, CB) stats, tiny
+                return P()
             _, module = keys[1].split(".", 1)
             return _weight_pspec(module)
         if top == "act_acc":

@@ -63,6 +63,161 @@ def resolve_scan_layers(cfg: SMTConfig, model_cfg: LlamaConfig,
     return supported and model_cfg.num_hidden_layers >= 12
 
 
+def resolve_scan_warmup(cfg: SMTConfig, model_cfg: LlamaConfig) -> bool:
+    """Scan the WARM-UP phase too (full-FT + saliency harvest as one
+    lax.scan over stacked layers). Engages with the sparse-phase scan
+    conditions plus per_step_stats saliency — the accumulation mode the
+    auto policy already picks at exactly the depths where unrolled compile
+    bites (steps.resolve_saliency_accumulation). grad_sum (reference-exact
+    full grad sums) stays unrolled: that regime is small models.
+
+    Call AFTER resolve_saliency_accumulation has resolved "auto"."""
+    if not resolve_scan_layers(cfg, model_cfg, "matrix"):
+        return False
+    return (cfg.matrix_sparsity and not cfg.channel_sparsity
+            and cfg.saliency_accumulation == "per_step_stats")
+
+
+def stack_layer_tree(layers: Dict[str, Dict], n_layers: int,
+                     dtype=None) -> Dict[str, jax.Array]:
+    keys = layers["0"].keys()
+    out = {}
+    for mod in keys:
+        stacked = jnp.stack([layers[str(l)][mod] for l in range(n_layers)])
+        out[mod] = stacked.astype(dtype) if dtype is not None else stacked
+    return out
+
+
+def init_scan_warmup_state(params, cfg: SMTConfig,
+                           model_cfg: LlamaConfig) -> Dict:
+    """Stacked twin of steps.init_warmup_state (matrix mode,
+    per_step_stats): acc is {module: (L, RB, CB) fp32}."""
+    from sparse_matrix_tuning_tpu.train.steps import _wants_saliency
+
+    L = model_cfg.num_hidden_layers
+    master = {k: v.astype(jnp.float32) for k, v in params.items()
+              if k != "layers"}
+    master["layers_stacked"] = stack_layer_tree(params["layers"], L,
+                                                jnp.float32)
+    state = {
+        "master": master,
+        "m": jax.tree.map(jnp.zeros_like, master),
+        "v": jax.tree.map(jnp.zeros_like, master),
+        "count": jnp.zeros((), jnp.int32),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    acc = {}
+    for mod, w in master["layers_stacked"].items():
+        if w.ndim != 3 or not _wants_saliency(cfg, mod):
+            continue
+        if w.shape[1] % BLOCK or w.shape[2] % BLOCK:
+            continue  # excluded from selection (steps.init_warmup_state)
+        acc[mod] = jnp.zeros((L, w.shape[1] // BLOCK, w.shape[2] // BLOCK),
+                             jnp.float32)
+    state["acc"] = acc
+    return state
+
+
+def build_scan_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
+                           lr_sched: Callable) -> Callable:
+    """Scan twin of steps.build_warmup_step: full-FT step + per-module
+    stacked saliency harvest (unclipped averaged grads, reference
+    fine_tune.py:716 quirk preserved)."""
+    from sparse_matrix_tuning_tpu.smt.select import block_stats
+    from sparse_matrix_tuning_tpu.smt.optimizer import full_ft_wd_mask
+    from sparse_matrix_tuning_tpu.models.llama import ATTN_TARGETS
+    from sparse_matrix_tuning_tpu.train.convert import (
+        ATTENTION_CALCULATE_STRATEGY)
+    from sparse_matrix_tuning_tpu.train.steps import (
+        accumulated_value_and_grad, _cast_tree)
+
+    adam_cfg = AdamConfig(betas=tuple(cfg.warmup_adam_betas), eps=cfg.adam_eps,
+                          weight_decay=cfg.w_decay, grad_clip=cfg.grad_clip)
+    param_dtype = cfg.param_dtype
+    lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
+
+    def step(state: Dict, batch: Dict) -> tuple:
+        def loss_of(master, mb):
+            params = _cast_tree(master, param_dtype)
+            return _warmup_scan_loss(params, mb, cfg, model_cfg)
+
+        vag = accumulated_value_and_grad(loss_of, batch,
+                                         cfg.gradient_accumulation_steps)
+        loss, grads = vag(state["master"], batch)
+
+        new_state = dict(state)
+        acc = {}
+        for mod in state["acc"]:
+            strat = (cfg.calculate_strategy
+                     if (mod not in ATTN_TARGETS or cfg.no_limit_mixture)
+                     else ATTENTION_CALCULATE_STRATEGY)
+            g3 = grads["layers_stacked"][mod].astype(jnp.float32)
+            acc[mod] = state["acc"][mod] + jax.vmap(
+                lambda g, s=strat: block_stats(g, s))(g3)
+        new_state["acc"] = acc
+
+        grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
+        lr = lr_sched(state["step"])
+        opt_state = {"m": state["m"], "v": state["v"], "count": state["count"]}
+        new_master, opt_state = adam_step(grads, opt_state, state["master"],
+                                          lr, adam_cfg, lr_scale=lr_scale,
+                                          wd_mask=full_ft_wd_mask)
+        metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr}
+        new_state.update(master=new_master, m=opt_state["m"],
+                         v=opt_state["v"], count=opt_state["count"],
+                         step=state["step"] + 1)
+        return new_state, metrics
+
+    return step
+
+
+def _warmup_scan_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig):
+    from sparse_matrix_tuning_tpu.models.llama import causal_lm_loss
+    from sparse_matrix_tuning_tpu.ops.loss import chunked_causal_lm_loss
+    from sparse_matrix_tuning_tpu.train.steps import _use_chunked_loss
+
+    kw = dict(attention_mask=batch.get("attention_mask"),
+              remat=cfg.gradient_checkpointing,
+              attn_impl=cfg.attn_impl)
+    if _use_chunked_loss(cfg, model_cfg):
+        hidden = forward_scan(params, batch["input_ids"], model_cfg,
+                              return_hidden=True, **kw)
+        return chunked_causal_lm_loss(hidden, lm_head_weight(params, model_cfg),
+                                      batch["labels"], cfg.vocab_chunk)
+    logits = forward_scan(params, batch["input_ids"], model_cfg, **kw)
+    return causal_lm_loss(logits, batch["labels"])
+
+
+def convert_from_scan_warmup(cfg: SMTConfig, warmup_state: Dict,
+                             model_cfg: LlamaConfig, all_2d_shapes):
+    """Selection + scan sparse state from a SCAN warm-up state: unstack the
+    tiny (L, RB, CB) stats into the keyed form convert.build_plan consumes,
+    synthesize shape-only per-layer dims, then build the stacked phase-2
+    state directly from the stacked master."""
+    from sparse_matrix_tuning_tpu.train.convert import build_plan
+
+    L = model_cfg.num_hidden_layers
+    acc_keyed = {}
+    for mod, a in warmup_state["acc"].items():
+        host = np.asarray(a)
+        for l in range(L):
+            acc_keyed[f"{l}.{mod}"] = jnp.asarray(host[l])
+    shape_layers = {
+        str(l): {mod: jax.ShapeDtypeStruct(w.shape[1:], w.dtype)
+                 for mod, w in warmup_state["master"]["layers_stacked"].items()}
+        for l in range(L)
+    }
+    view = dict(warmup_state)
+    view["acc"] = acc_keyed
+    view["master"] = dict(warmup_state["master"])
+    view["master"]["layers"] = shape_layers
+    plan = build_plan(cfg, view, all_2d_shapes)
+    if not plan.linears:
+        raise ValueError("SMT selection produced zero trainable blocks")
+    state = build_scan_sparse_state(cfg, warmup_state, plan, model_cfg)
+    return plan, state
+
+
 def stack_plan_indices(plan: SMTPlan, n_layers: int) -> Dict[str, Dict]:
     """Per-module stacked coordinate arrays: {"rb"/"cb": (L, n) int32,
     "valid": (L, n) bool}. Layers with fewer (or zero) blocks are padded
@@ -112,13 +267,23 @@ def build_scan_sparse_state(cfg: SMTConfig, warmup_state: Dict,
     use_q8 = resolve_frozen_quant(cfg, plan.mode) == "int8"
 
     params = {k: v.astype(cfg.param_dtype) for k, v in master.items()
-              if k != "layers"}
-    layer_keys = master["layers"]["0"].keys()
-    stacked = {
-        mod: jnp.stack([master["layers"][str(l)][mod] for l in range(L)]
-                       ).astype(cfg.param_dtype)
-        for mod in layer_keys
-    }
+              if k not in ("layers", "layers_stacked")}
+    if "layers_stacked" in master:  # scan warm-up: already stacked
+        stacked = {mod: w.astype(cfg.param_dtype)
+                   for mod, w in master["layers_stacked"].items()}
+
+        def layer_weight(mod, l):
+            return master["layers_stacked"][mod][l]
+    else:
+        layer_keys = master["layers"]["0"].keys()
+        stacked = {
+            mod: jnp.stack([master["layers"][str(l)][mod] for l in range(L)]
+                           ).astype(cfg.param_dtype)
+            for mod in layer_keys
+        }
+
+        def layer_weight(mod, l):
+            return master["layers"][str(l)][mod]
     params["layers_stacked"] = stacked
 
     trainable, base, q = {}, {}, {}
@@ -126,15 +291,14 @@ def build_scan_sparse_state(cfg: SMTConfig, warmup_state: Dict,
         for mod in LAYER_LINEARS:
             if mod not in stacked or stacked[mod].ndim != 3:
                 continue
-            per = [quantize_weight(master["layers"][str(l)][mod])
-                   for l in range(L)]
+            per = [quantize_weight(layer_weight(mod, l)) for l in range(L)]
             q[mod] = {"wq": jnp.stack([p[0] for p in per]),
                       "sw": jnp.stack([p[1] for p in per])}
     for mod, meta in idx.items():
         rows = []
         brows = []
         for l in range(L):
-            w = master["layers"][str(l)][mod]
+            w = layer_weight(mod, l)
             rows.append(_gather_blocks(w, meta["rb"][l], meta["cb"][l]))
             if use_q8:
                 wd = (q[mod]["wq"][l].astype(jnp.float32)

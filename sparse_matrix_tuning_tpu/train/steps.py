@@ -499,6 +499,10 @@ def build_eval_step(cfg: SMTConfig, model_cfg: LlamaConfig,
     def step(state, batch) -> jax.Array:
         if "master" in state:
             params = _cast_tree(state["master"], param_dtype)
+            if "layers_stacked" in params:  # scan warm-up
+                from sparse_matrix_tuning_tpu.train.scan_phase import (
+                    _warmup_scan_loss)
+                return _warmup_scan_loss(params, batch, cfg, model_cfg)
             linear = None
         else:
             params = state["params"]

@@ -56,12 +56,27 @@ class SMTTrainer:
         from sparse_matrix_tuning_tpu.parallel.mesh import set_compute_mesh
         set_compute_mesh(mesh)  # shard_map-wrapped kernels read this at trace
 
-        self.state = init_warmup_state(params, cfg)
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            build_scan_warmup_step, init_scan_warmup_state,
+            resolve_scan_warmup)
+        from sparse_matrix_tuning_tpu.train.steps import (
+            resolve_saliency_accumulation)
+        resolve_saliency_accumulation(cfg, params)
+        self._scan_warmup = resolve_scan_warmup(cfg, model_cfg)
+        if self._scan_warmup:
+            self.state = init_scan_warmup_state(params, cfg, model_cfg)
+        else:
+            self.state = init_warmup_state(params, cfg)
         self._place_state(plan_mode=None)
 
         warmup_sched = make_lr_schedule(cfg.lr_scheduler_type, cfg.ft_learning_rate,
                                         cfg.lr_warmup_steps, self.total_steps)
-        self._warmup_step = self._jit(build_warmup_step(cfg, model_cfg, warmup_sched))
+        if self._scan_warmup:
+            self._warmup_step = self._jit(
+                build_scan_warmup_step(cfg, model_cfg, warmup_sched))
+        else:
+            self._warmup_step = self._jit(
+                build_warmup_step(cfg, model_cfg, warmup_sched))
         self._channel_step = (self._jit(build_channel_warmup_step(cfg, model_cfg))
                               if cfg.channel_sparsity else None)
         self._sparse_step = None  # built at conversion
@@ -101,6 +116,7 @@ class SMTTrainer:
         self.plan = plan
         self.phase = "sparse"
         self._scan = True
+        self._scan_warmup = False
         self._all_2d_shapes = None
         self._warmup_step = None
         self._channel_step = None
@@ -205,12 +221,19 @@ class SMTTrainer:
             return
         t0 = time.time()
         from sparse_matrix_tuning_tpu.train.scan_phase import (
-            offload_scan_frozen_to_host, resolve_scan_layers)
+            convert_from_scan_warmup, offload_scan_frozen_to_host,
+            resolve_scan_layers)
         mode = "matrix" if self.cfg.matrix_sparsity else "channel"
         self._scan = resolve_scan_layers(self.cfg, self.model_cfg, mode)
-        self.plan, self.state = convert_mod.convert(
-            self.cfg, self.state, self._all_2d_shapes,
-            model_cfg=self.model_cfg, scan=self._scan)
+        if self._scan_warmup:
+            # scan warm-up implies scan sparse phase (same conditions)
+            self._scan = True
+            self.plan, self.state = convert_from_scan_warmup(
+                self.cfg, self.state, self.model_cfg, self._all_2d_shapes)
+        else:
+            self.plan, self.state = convert_mod.convert(
+                self.cfg, self.state, self._all_2d_shapes,
+                model_cfg=self.model_cfg, scan=self._scan)
         if convert_mod.frozen_offload_active(self.cfg, self.plan.mode, self.mesh):
             if self._scan:
                 self.state, self._host_frozen = \
@@ -433,8 +456,18 @@ class SMTTrainer:
             if self._host_frozen is not None:
                 return self._merged_from_host()
             return self.state["params"]
-        return jax.tree.map(lambda p: p.astype(self.cfg.param_dtype),
-                            self.state["master"])
+        master = self.state["master"]
+        if "layers_stacked" in master:  # scan warm-up: unstack for export
+            dt = self.cfg.param_dtype
+            out = {k: v.astype(dt) for k, v in master.items()
+                   if k != "layers_stacked"}
+            out["layers"] = {
+                str(l): {mod: w[l].astype(dt)
+                         for mod, w in master["layers_stacked"].items()}
+                for l in range(self.model_cfg.num_hidden_layers)
+            }
+            return out
+        return jax.tree.map(lambda p: p.astype(self.cfg.param_dtype), master)
 
     def _merged_from_host(self):
         from sparse_matrix_tuning_tpu.smt.plan import BLOCK

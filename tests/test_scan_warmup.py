@@ -1,0 +1,97 @@
+"""Scan-over-layers WARM-UP phase (train/scan_phase.py
+build_scan_warmup_step): full-FT training + per-module stacked saliency
+harvest + conversion into the scan sparse state — the depth-independent-
+compile twin of the unrolled warm-up."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from test_train_e2e import CFG, make_batches, smt_cfg
+
+
+def _cfg(scan: str):
+    return smt_cfg(scan_layers=scan, saliency_accumulation="per_step_stats",
+                   full_ft_steps=3)
+
+
+def _train(scan: str, n=8):
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    t = SMTTrainer(_cfg(scan), CFG, params, total_steps=n)
+    losses = [float(t.train_step(b)["loss"]) for b in make_batches(n, bsz=8)]
+    return t, losses
+
+
+def test_scan_warmup_matches_unrolled_two_phase():
+    t_s, l_s = _train("on")
+    t_u, l_u = _train("off")
+    assert t_s._scan_warmup and not t_u._scan_warmup
+    assert t_s._scan and t_s.phase == "sparse"
+
+    # same selection from the scanned harvest
+    assert t_s.plan.fingerprint() == t_u.plan.fingerprint()
+    # warm-up (steps 0-2) and sparse losses track the unrolled run (same
+    # math, different fp association through the scan)
+    np.testing.assert_allclose(l_s, l_u, rtol=3e-3)
+    assert l_s[-1] < l_s[0]
+
+
+def test_scan_warmup_state_layout():
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    t = SMTTrainer(_cfg("on"), CFG, params, total_steps=4)
+    st = t.state
+    assert "layers_stacked" in st["master"]
+    L = CFG.num_hidden_layers
+    assert st["master"]["layers_stacked"]["q_proj"].shape[0] == L
+    for mod, a in st["acc"].items():
+        assert a.shape[0] == L and a.ndim == 3
+
+    # warm-up export unstacks back to the HF layout
+    merged = t.merged_params()
+    assert "layers" in merged and "layers_stacked" not in merged
+    assert merged["layers"]["0"]["q_proj"].ndim == 2
+
+
+def test_scan_warmup_checkpoint_resume():
+    import tempfile
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    batches = make_batches(8, bsz=8)
+    t1 = SMTTrainer(_cfg("on"), CFG,
+                    init_params(jax.random.PRNGKey(0), CFG), total_steps=8)
+    for b in batches[:2]:  # mid-WARM-UP (full_ft_steps=3)
+        t1.train_step(b)
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, t1)
+        t2 = SMTTrainer(_cfg("on"), CFG,
+                        init_params(jax.random.PRNGKey(0), CFG), total_steps=8)
+        restore_checkpoint(d, t2)
+    assert t2.phase == "warmup" and t2._scan_warmup
+    l1 = [float(t1.train_step(b)["loss"]) for b in batches[2:]]
+    l2 = [float(t2.train_step(b)["loss"]) for b in batches[2:]]
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    assert t1.plan.fingerprint() == t2.plan.fingerprint()
+
+
+def test_scan_warmup_resolution():
+    from sparse_matrix_tuning_tpu.train.scan_phase import resolve_scan_warmup
+    import dataclasses
+    deep = dataclasses.replace(CFG, num_hidden_layers=32)
+    assert resolve_scan_warmup(
+        smt_cfg(saliency_accumulation="per_step_stats"), deep)
+    assert not resolve_scan_warmup(
+        smt_cfg(saliency_accumulation="grad_sum"), deep)
+    assert not resolve_scan_warmup(
+        smt_cfg(saliency_accumulation="per_step_stats"), CFG)  # shallow
+    assert not resolve_scan_warmup(
+        smt_cfg(saliency_accumulation="per_step_stats",
+                matrix_sparsity=False, channel_sparsity=True,
+                num_attention_channel=4, num_mlp_channel=4), deep)
