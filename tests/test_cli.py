@@ -123,3 +123,42 @@ def test_eval_cli_math_dataset(tiny_hf_dir, tmp_path):
     assert "gsm8k" in results
     preds = (tmp_path / "out" / "gsm8k" / "model_predictions.jsonl")
     assert len(preds.read_text().strip().splitlines()) == 3
+
+
+def test_fine_tune_cli_sparse_from_plan(tiny_hf_dir, tiny_data, tmp_path):
+    """--sparse_from_plan: quantize-on-load sparse continuation from a plan
+    produced by a prior two-phase run (the single-chip big-model flow)."""
+    from sparse_matrix_tuning_tpu.cli.fine_tune import main
+    first = tmp_path / "first"
+    main([
+        "--model_name_or_path", tiny_hf_dir,
+        "--data_path", tiny_data,
+        "--output_dir", str(first),
+        "--matrix_sparsity", "--full_ft_steps", "1",
+        "--downsample_attention_blocks_ratio", "0.2",
+        "--downsample_mlp_blocks_ratio", "0.2",
+        "--per_device_ft_batch_size", "1",
+        "--per_device_eval_batch_size", "1", "--num_ft_epochs", "1",
+        "--max_seq_len", "64", "--eval_step", "0", "--dtype", "fp32",
+        "--ft_learning_rate", "1e-3", "--smt_lr", "1e-3",
+        "--no_gradient_checkpointing",
+    ])
+    plan_file = first / "final" / "smt_plan.json"
+    assert plan_file.exists()
+
+    out = tmp_path / "cont"
+    history = main([
+        "--model_name_or_path", str(first / "final"),
+        "--data_path", tiny_data,
+        "--output_dir", str(out),
+        "--matrix_sparsity",
+        "--sparse_from_plan", str(plan_file),
+        "--frozen_quant", "int8",  # quantize-on-load is the int8 path
+        "--per_device_ft_batch_size", "1",
+        "--per_device_eval_batch_size", "1", "--num_ft_epochs", "1",
+        "--max_seq_len", "64", "--eval_step", "2", "--dtype", "fp32",
+        "--smt_lr", "1e-3", "--no_gradient_checkpointing",
+    ])
+    assert np.isfinite(history["train_loss"]).all()
+    assert np.isfinite(history["eval_loss"]).all()
+    assert (out / "final" / "model.safetensors").exists()
