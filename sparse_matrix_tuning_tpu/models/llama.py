@@ -246,22 +246,25 @@ def resolve_attn_impl(attn_impl: str, seq_len: int, head_dim: int) -> str:
     """Measured on v5e (tools/attn_fullk_bench.py, tools/attn_tune.py):
 
       * the hand-written fullk Pallas kernel (ops/pallas/attention.py) beats
-        XLA einsum attention 2.06x fwd+bwd at the training geometry
-        (b8/s1024/hq32/hkv8/hd128: 6.46ms vs 13.32ms) — no fp32 score/prob
-        HBM traffic, one fused bwd pass;
+        XLA einsum attention across training lengths at hd=128 — fwd+bwd
+        2.06x at s1024 (b8/hq32/hkv8), 2.23x at s2048, 2.78x at s4096 — no
+        fp32 score/prob HBM traffic, one fused bwd pass. At hd=96 (non-
+        lane-aligned) fwd+bwd is still 1.17x but the pure forward is 0.61x
+        (Mosaic pads the 96-wide lanes), so non-multiples of 128 stay on
+        einsum (eval/loss-only passes are forward-only);
       * XLA einsum in turn beats the stock Pallas flash kernel at seq
         1024-4096 (bwd ~1.8x, e.g. 13.7ms vs 24.7ms at seq 2048).
 
     "auto" resolves to fullk on a single TPU device at training lengths
-    (its full-K/V-in-VMEM layout is validated to seq 4096); einsum
-    elsewhere — CPU (interpret-mode Pallas is test-only) and multi-device
-    GSPMD meshes (pallas_call has no SPMD partitioning rule, so XLA would
-    all-gather the sharded batch around it). flash stays opt-in for
-    longer-context regimes."""
+    (validated to seq 4096) with 128-aligned head_dim; einsum elsewhere —
+    CPU (interpret-mode Pallas is test-only) and multi-device GSPMD meshes
+    (pallas_call has no SPMD partitioning rule, so XLA would all-gather
+    the sharded batch around it). flash stays opt-in for longer-context
+    regimes."""
     if attn_impl != "auto":
         return attn_impl
     if (jax.devices()[0].platform == "tpu" and jax.device_count() == 1
-            and seq_len <= 4096):
+            and seq_len <= 4096 and head_dim % 128 == 0):
         return "fullk"
     return "einsum"
 
