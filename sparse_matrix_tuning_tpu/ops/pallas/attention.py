@@ -260,16 +260,19 @@ def fullk_attention_spmd(q, k, v, sm_scale: float, mesh):
     cross-batch/cross-head terms, so the body needs zero collectives;
     pallas_call itself has no SPMD partitioning rule, which is why the
     explicit shard_map (a bare call under jit would be all-gathered)."""
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(("data", "fsdp"), None, "tensor", None)
+    # pallas_call out_shapes carry no varying-mesh-axes info, so replication
+    # checking must be off. The kwarg is check_vma on modern jax and
+    # check_rep on the jax.experimental fallback — match per import site.
+    try:
+        from jax import shard_map
+        kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
     f = shard_map(
         lambda q, k, v: fullk_attention(q, k, v, sm_scale), mesh=mesh,
-        in_specs=(spec, spec, spec), out_specs=spec,
-        # pallas_call out_shapes carry no varying-mesh-axes info
-        check_vma=False)
+        in_specs=(spec, spec, spec), out_specs=spec, **kw)
     return f(q, k, v)

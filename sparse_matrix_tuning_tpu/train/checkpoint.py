@@ -60,6 +60,19 @@ def save_checkpoint(path: str, trainer) -> None:
     meta = {"phase": trainer.phase, "step": trainer.step,
             "total_steps": trainer.total_steps,
             "best_eval_loss": trainer.best_eval_loss}
+    if trainer.phase == "sparse" and trainer.plan is not None:
+        # record the RESOLVED sparse-phase layout so a restore under
+        # different flags/backend fails with an actionable message instead
+        # of a deep orbax structure mismatch (e.g. frozen_quant=auto written
+        # on TPU restored on CPU, or --scan_layers toggled)
+        from sparse_matrix_tuning_tpu.train.convert import resolve_frozen_quant
+        meta["resolved"] = {
+            "scan": bool(getattr(trainer, "_scan", False)),
+            "host_offload": getattr(trainer, "_host_frozen", None) is not None,
+            "frozen_quant": resolve_frozen_quant(
+                trainer.cfg, trainer.plan.mode,
+                scan=bool(getattr(trainer, "_scan", False))),
+        }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(path, "config.json"), "w") as f:
@@ -95,6 +108,33 @@ def restore_checkpoint(path: str, trainer) -> None:
         from sparse_matrix_tuning_tpu.train.steps import init_sparse_state
         scan = resolve_scan_layers(trainer.cfg, trainer.model_cfg, plan.mode)
         host_frozen = _load_host_frozen(path)
+        saved = meta.get("resolved")
+        if saved is not None:
+            from sparse_matrix_tuning_tpu.train.convert import (
+                resolve_frozen_quant)
+            now = {"scan": scan,
+                   "host_offload": host_frozen is not None,
+                   "frozen_quant": resolve_frozen_quant(trainer.cfg,
+                                                        plan.mode,
+                                                        scan=scan)}
+            diffs = {k: (saved[k], now[k]) for k in now
+                     if k in saved and saved[k] != now[k]}
+            if diffs:
+                hints = []
+                if "frozen_quant" in diffs:
+                    hints.append(
+                        "set --frozen_quant explicitly to the saved value "
+                        f"({diffs['frozen_quant'][0]!r}) — 'auto' resolves "
+                        "by backend platform, so TPU-written checkpoints "
+                        "need it pinned to restore elsewhere")
+                if "scan" in diffs:
+                    hints.append(
+                        f"set --scan_layers {'on' if diffs['scan'][0] else 'off'} "
+                        "to match the saved state layout")
+                raise ValueError(
+                    "checkpoint was saved with a different resolved sparse-"
+                    f"phase layout: {{k: (saved, now)}} = {diffs}. "
+                    + "; ".join(hints))
         master = trainer.state["master"]
         if scan:
             template = build_scan_sparse_state(trainer.cfg, trainer.state,

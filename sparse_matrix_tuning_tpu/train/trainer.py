@@ -104,9 +104,11 @@ class SMTTrainer:
             build_scan_state_from_hf)
 
         model_cfg = model_cfg or load_hf_config(model_dir)
-        if plan.mode != "matrix" or cfg.dropout > 0 or cfg.dtype == "fp16":
-            raise ValueError("sparse_scan_from_hf requires matrix mode, "
-                             "dropout=0 and dtype != fp16 (scan phase)")
+        if plan.mode not in ("matrix", "channel") or cfg.dropout > 0 \
+                or cfg.dtype == "fp16":
+            raise ValueError("sparse_scan_from_hf requires matrix or "
+                             "channel mode, dropout=0 and dtype != fp16 "
+                             "(scan phase)")
 
         self = cls.__new__(cls)
         self.cfg = cfg
@@ -234,7 +236,8 @@ class SMTTrainer:
             self.plan, self.state = convert_mod.convert(
                 self.cfg, self.state, self._all_2d_shapes,
                 model_cfg=self.model_cfg, scan=self._scan)
-        if convert_mod.frozen_offload_active(self.cfg, self.plan.mode, self.mesh):
+        if convert_mod.frozen_offload_active(self.cfg, self.plan.mode,
+                                             self.mesh, scan=self._scan):
             if self._scan:
                 self.state, self._host_frozen = \
                     offload_scan_frozen_to_host(self.state)
@@ -283,11 +286,38 @@ class SMTTrainer:
 
     # -- steps ------------------------------------------------------------------------
 
+    def _check_right_padding(self, batch):
+        """One-time (per trainer) invariant check: the fused attention
+        kernels (fullk/flash) ignore the attention mask and are only
+        correct for causal + RIGHT-padded batches (models/llama.py
+        _decoder_layer dispatch). The data pipeline right-pads by
+        construction; a future left-padded or packed-sequence batch must
+        fail loudly here rather than train on silently wrong attention."""
+        if getattr(self, "_padding_checked", False):
+            return
+        self._padding_checked = True
+        mask = batch.get("attention_mask")
+        if mask is None:
+            return
+        from sparse_matrix_tuning_tpu.models.llama import resolve_attn_impl
+        seq = int(np.asarray(batch["input_ids"]).shape[-1])
+        if resolve_attn_impl(self.cfg.attn_impl, seq,
+                             self.model_cfg.head_dim) == "einsum":
+            return
+        m = np.asarray(mask)
+        if not (m[:, :-1] >= m[:, 1:]).all():
+            raise ValueError(
+                "batch attention_mask is not right-padded (monotone non-"
+                "increasing rows); the fused attention kernels require "
+                "right padding — use attn_impl='einsum' for left-padded "
+                "or packed batches")
+
     def train_step(self, batch: Dict[str, np.ndarray]) -> Dict[str, float]:
         """One global-batch step, dispatching on phase (reference loop body
         fine_tune.py:248-844)."""
         from sparse_matrix_tuning_tpu.parallel.mesh import set_compute_mesh
         set_compute_mesh(self.mesh)  # jit traces lazily, on the first call
+        self._check_right_padding(batch)
         self.maybe_convert()
         if self.phase == "sparse":
             self.state, metrics = self._sparse_step(self.state, batch)
@@ -534,9 +564,13 @@ class SMTTrainer:
         if jax.process_count() > 1:
             # collective: multi-host shards are not addressable from process
             # 0, so EVERY process gathers before rank 0 writes (reference
-            # rank-0 save_hf_format, deepspeed_helpers.py:341-364)
-            from jax.experimental import multihost_utils
-            params = multihost_utils.process_allgather(params, tiled=True)
+            # rank-0 save_hf_format, deepspeed_helpers.py:341-364).
+            # Per-leaf and jax-Arrays only: the scan/offload merge paths
+            # already return host numpy (gathered inside
+            # merged_params_from_scan) — allgathering numpy again would
+            # wrongly concatenate identical per-host copies.
+            from sparse_matrix_tuning_tpu.train.scan_phase import _host_global
+            params = jax.tree.map(_host_global, params)
         if jax.process_index() != 0:
             return
         out = os.path.join(self.cfg.output_dir, tag)

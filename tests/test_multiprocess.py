@@ -17,4 +17,5 @@ def test_two_process_training_matches_single_process():
         [sys.executable, os.path.join(REPO, "tools", "multiproc_smoke.py")],
         capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
     assert out.returncode == 0, f"\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
-    assert "MULTIPROC SMOKE OK" in out.stdout
+    assert "MULTIPROC SMOKE [unrolled] OK" in out.stdout
+    assert "MULTIPROC SMOKE [scan] OK" in out.stdout

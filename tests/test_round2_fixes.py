@@ -176,6 +176,7 @@ def test_run_dataset_eval_multihost_strided(monkeypatch):
 
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(harness, "_allgather_max", lambda m: m)
     monkeypatch.setattr(harness, "_allgather_merge",
                         lambda buf: np.maximum(buf, other_buf))
 

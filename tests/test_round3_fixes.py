@@ -1,0 +1,119 @@
+"""Round-3 guards: resolved-layout checkpoint verification, eval gather
+width sizing, quantize-on-load lm_head validation, fused-attention
+right-padding invariant."""
+import json
+import os
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from test_train_e2e import CFG, make_batches, smt_cfg
+
+
+def test_restore_rejects_scan_layout_mismatch():
+    """A sparse checkpoint written with the scan layout must not be
+    restored into an unrolled-layout trainer: the mismatch is caught at
+    meta level with an actionable message, not a deep orbax structure
+    error (ADVICE r2 #4 / VERDICT r2 next-step #8)."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    t1 = SMTTrainer(smt_cfg(scan_layers="on"), CFG,
+                    init_params(jax.random.PRNGKey(0), CFG), total_steps=8)
+    for b in make_batches(3, bsz=8):
+        t1.train_step(b)
+    assert t1.phase == "sparse" and t1._scan
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, t1)
+        with open(os.path.join(d, "meta.json")) as f:
+            assert json.load(f)["resolved"]["scan"] is True
+        t2 = SMTTrainer(smt_cfg(scan_layers="off"), CFG,
+                        init_params(jax.random.PRNGKey(0), CFG),
+                        total_steps=8)
+        with pytest.raises(ValueError, match="scan_layers"):
+            restore_checkpoint(d, t2)
+
+
+def test_restore_rejects_frozen_quant_mismatch():
+    """frozen_quant resolved differently at restore (the cross-backend
+    'auto' trap) fails loudly with the saved value in the message."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    t1 = SMTTrainer(smt_cfg(frozen_quant="int8"), CFG,
+                    init_params(jax.random.PRNGKey(0), CFG), total_steps=8)
+    for b in make_batches(3, bsz=8):
+        t1.train_step(b)
+    assert t1.phase == "sparse"
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, t1)
+        t2 = SMTTrainer(smt_cfg(frozen_quant="none"), CFG,
+                        init_params(jax.random.PRNGKey(0), CFG),
+                        total_steps=8)
+        with pytest.raises(ValueError, match="frozen_quant"):
+            restore_checkpoint(d, t2)
+
+
+def test_eval_gather_width_grows_to_fit():
+    """A completion larger than the 8 KiB default row no longer truncates:
+    the row width is sized from the actual completions (VERDICT r2 weak
+    #3)."""
+    from sparse_matrix_tuning_tpu.eval.harness import (
+        GATHER_ROW_BYTES, _decode_rows, _encode_rows, _row_width)
+
+    big = "世界" * 3000  # 18000 utf-8 bytes of CJK
+    small = "true"
+    width = _row_width([big, small])
+    assert width >= len(big.encode("utf-8"))
+    assert width % 256 == 0
+    buf = _encode_rows(2, [0, 1], [big, small], width=width)
+    out = _decode_rows(buf)
+    assert out[0] == big and out[1] == small
+    # default width still floors at the old constant
+    assert _row_width(["tiny"]) == GATHER_ROW_BYTES
+
+
+def test_quantize_on_load_rejects_missing_lm_head(tmp_path):
+    """Untied model whose checkpoint lacks lm_head must raise, not silently
+    substitute the embedding (ADVICE r2 #3)."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.models.hf_io import save_hf_format
+    from sparse_matrix_tuning_tpu.train.scan_phase import (
+        build_scan_state_from_hf)
+    from test_quantize_on_load import _synthetic_plan
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    params = {k: v for k, v in params.items() if k != "lm_head"}
+    save_hf_format(params, CFG, str(tmp_path))
+    assert not CFG.tie_word_embeddings
+    cfg = smt_cfg(frozen_quant="int8", scan_layers="on")
+    with pytest.raises(ValueError, match="lm_head"):
+        build_scan_state_from_hf(cfg, str(tmp_path), _synthetic_plan(), CFG)
+
+
+def test_left_padded_batch_rejected_for_fused_attention():
+    """The fused attention kernels ignore the mask; a left-padded batch
+    must fail loudly at the trainer boundary (ADVICE r2 #2)."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    t = SMTTrainer(smt_cfg(attn_impl="fullk"), CFG,
+                   init_params(jax.random.PRNGKey(0), CFG), total_steps=4)
+    batch = make_batches(1, bsz=4)[0]
+    mask = np.ones_like(batch["attention_mask"])
+    mask[:, 0] = 0  # left padding
+    batch = dict(batch, attention_mask=mask)
+    with pytest.raises(ValueError, match="right-padded"):
+        t.train_step(batch)
+
+    # einsum impl honors the mask — left padding is allowed there
+    t2 = SMTTrainer(smt_cfg(attn_impl="einsum"), CFG,
+                    init_params(jax.random.PRNGKey(0), CFG), total_steps=4)
+    m = t2.train_step(batch)
+    assert np.isfinite(float(m["loss"]))
