@@ -378,6 +378,93 @@ def _block_grad_weight_xla_dyn(g2, x2, rb, cb):
 
 
 # ---------------------------------------------------------------------------
+# Dynamic-index (scan-over-layers) channel sparsity
+# ---------------------------------------------------------------------------
+#
+# Channel twin of smt_linear_dyn: the trainable unit is whole COLUMNS of W
+# (selected input channels, see channel-mode notes below), coordinates are
+# traced (n,) int32 arrays padded to the per-module max with inert
+# duplicates. Both precisions compute around a never-updated frozen base:
+#
+#   y       = base_matmul(x, W_frozen)  +  x[:, ci] @ delta.T
+#   grad_x  = base_matmul_T(g)          +  (g @ delta) scattered to cols ci
+#   grad_cols = g^T @ x[:, ci]                       (masked by `valid`)
+#   delta   = (cols - base_cols) * valid             — (O, n)
+#
+# With the int8 base, base_cols = dequant(Wq)[:, ci], so the SELECTED
+# columns see zero quantization error (W_eff[:, ci] = cols exactly) — the
+# column analogue of the q8 block correction above. The column gather uses
+# jnp.take (vectorized gather); the grad_x column scatter uses a one-hot
+# matmul (n x I) on the MXU instead of an XLA scatter (scatters serialize
+# on TPU, see _grouped_correction notes). n*I MACs per token — negligible
+# next to the O*I base matmul since n << O.
+#
+# This is what lets channel mode scale like matrix mode (VERDICT r2
+# missing #3 / next-step #2): depth-independent compile via lax.scan +
+# int8 frozen base + host offload. Reference semantics: smt.py:185-296
+# (linearChannel), fine_tune.py:406-575.
+
+def _chan_delta(cols, base_cols, valid, dtype):
+    return ((cols - base_cols) * valid.astype(cols.dtype)[None, :]).astype(dtype)
+
+
+def _chan_forward(x, cols, ci, valid, frozen, base_cols):
+    y = _base_matmul(x, frozen)
+    delta = _chan_delta(cols, base_cols, valid, x.dtype)   # (O, n)
+    x2 = x.reshape(-1, x.shape[-1])
+    x_sel = jnp.take(x2, ci, axis=1)                       # (T, n)
+    corr = jax.lax.dot_general(x_sel, delta, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (T, O)
+    return (y.reshape(-1, y.shape[-1]).astype(jnp.float32) + corr
+            ).astype(y.dtype).reshape(y.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def smt_channel_linear_dyn(impl: str, x, cols, ci, valid, frozen, base_cols):
+    """Channel-sparse linear with traced column indices (scan path).
+
+    cols/base_cols: (O, n) trainable / frozen column values; ci: (n,)
+    int32 selected input channels; valid: (n,) bool; frozen: {"w": (O, I)}
+    bf16 dense or {"wq" int8, "sw" fp32} q8 base — never updated."""
+    return _chan_forward(x, cols, ci, valid, frozen, base_cols)
+
+
+def _smt_channel_dyn_fwd(impl, x, cols, ci, valid, frozen, base_cols):
+    y = _chan_forward(x, cols, ci, valid, frozen, base_cols)
+    delta = _chan_delta(cols, base_cols, valid, x.dtype)
+    return y, (x, ci, valid, frozen, delta, jnp.zeros((0,), cols.dtype))
+
+
+def _smt_channel_dyn_bwd(impl: str, res, g):
+    x, ci, valid, frozen, delta, dtype_probe = res
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, x.shape[-1])
+    in_dim = x.shape[-1]
+
+    grad_x = _base_matmul_T(g2, frozen)                      # (T, I)
+    gd = jax.lax.dot_general(g2, delta, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (T, n)
+    # scatter gd into columns ci as a one-hot matmul (MXU, not XLA scatter)
+    onehot = (ci[:, None] == jnp.arange(in_dim)[None, :]).astype(gd.dtype)
+    grad_x = (grad_x.astype(jnp.float32)
+              + jax.lax.dot_general(gd, onehot, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+              ).astype(grad_x.dtype).reshape(x.shape)
+
+    x_sel = jnp.take(x2, ci, axis=1)                         # (T, n)
+    grad_cols = jax.lax.dot_general(g2, x_sel, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    grad_cols = grad_cols * valid.astype(grad_cols.dtype)[None, :]
+    return (grad_x, grad_cols.astype(dtype_probe.dtype),
+            _zero_cotangent(ci), _zero_cotangent(valid),
+            jax.tree.map(_zero_cotangent, frozen),
+            jnp.zeros_like(delta, dtype=dtype_probe.dtype))
+
+
+smt_channel_linear_dyn.defvjp(_smt_channel_dyn_fwd, _smt_channel_dyn_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Channel sparsity
 # ---------------------------------------------------------------------------
 

@@ -152,6 +152,17 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
         # scan layout: (L, n, 256, 256) — shard the intra-block row dim
         return P(None, None, "fsdp", None)
 
+    def _trainable_spec(leaf):
+        """Mode/layout dispatch for trainable/base/m/v leaves: matrix scan
+        (L, n, 256, 256) is 4-D; channel scan (L, O, n) is 3-D with O
+        sharded over fsdp; unrolled layouts keep trainable_pspec."""
+        nd = getattr(leaf, "ndim", 0)
+        if nd == 4:
+            return _stacked_trainable_pspec()
+        if nd == 3 and plan_mode == "channel":
+            return P(None, "fsdp", None)
+        return trainable_pspec(plan_mode) if plan_mode else P()
+
     def spec_for(path, leaf):
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]
         top = keys[0]
@@ -162,9 +173,7 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
             # sparse phase: it mirrors the flat trainable dict.
             if len(keys) > 1 and keys[1] in _PARAM_TOPS:
                 return _param_leaf_spec(keys[1:])
-            if getattr(leaf, "ndim", 0) == 4:
-                return _stacked_trainable_pspec()  # scan layout (L,n,256,256)
-            return trainable_pspec(plan_mode) if plan_mode else P()
+            return _trainable_spec(leaf)
         if top == "acc":
             if "." not in keys[1]:  # scan warm-up: (L, RB, CB) stats, tiny
                 return P()
@@ -173,11 +182,9 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
         if top == "act_acc":
             return P(None, "tensor")
         if top == "trainable":
-            if getattr(leaf, "ndim", 0) == 4:
-                return _stacked_trainable_pspec()  # scan layout
-            return trainable_pspec(plan_mode) if plan_mode else P()
-        if top == "base":  # scan layout: stacked frozen block values
-            return _stacked_trainable_pspec()
+            return _trainable_spec(leaf)
+        if top == "base":  # scan layout: stacked frozen block/column values
+            return _trainable_spec(leaf)
         if top == "idx":   # tiny coordinate arrays: replicate
             return P()
         if top == "q":

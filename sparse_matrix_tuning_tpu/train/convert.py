@@ -44,12 +44,17 @@ ATTENTION_CALCULATE_STRATEGY = "mean_abs"  # reference default-arg quirk
 LAYER_LINEARS = ATTN_TARGETS + ("o_proj",) + MLP_TARGETS
 
 
-def resolve_frozen_quant(cfg: SMTConfig, mode: str) -> str:
-    """frozen_quant="auto" -> int8 on TPU backends for the matrix path
-    (measured ~1.7x on the sparse-phase matmuls at 8B widths,
-    tools/int8_probe.py), exact bf16 elsewhere. Channel mode always runs
-    unquantized (its selected columns are not block-correctable)."""
-    if mode != "matrix":
+def resolve_frozen_quant(cfg: SMTConfig, mode: str,
+                         scan: bool = False) -> str:
+    """frozen_quant="auto" -> int8 on TPU backends (measured ~1.7x on the
+    sparse-phase matmuls at 8B widths, tools/int8_probe.py), exact bf16
+    elsewhere. Channel mode supports int8 only in the SCAN path, where
+    smt_channel_linear_dyn applies the exact selected-column correction
+    (delta = cols - dequant cols); the unrolled channel forward computes
+    through the scatter-updated dense weight and has no correction hook."""
+    if mode == "channel" and not scan:
+        return "none"
+    if mode not in ("matrix", "channel"):
         return "none"
     if cfg.frozen_quant != "auto":
         return cfg.frozen_quant
@@ -219,22 +224,23 @@ def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes,
     trainable = plan.gather(master["layers"], dtype=jnp.float32)
     state = init_sparse_state(params, trainable, step=int(warmup_state["step"]),
                               cfg=cfg)
-    if resolve_frozen_quant(cfg, plan.mode) == "int8":
+    if resolve_frozen_quant(cfg, plan.mode, scan=False) == "int8":
         # quantize from the fp32 master (best rounding); wq/sw/base are
         # frozen constants that ride along in the state pytree
         state["q"] = build_qweights(master["layers"], plan)
     return plan, state
 
 
-def frozen_offload_active(cfg: SMTConfig, mode: str, mesh) -> bool:
+def frozen_offload_active(cfg: SMTConfig, mode: str, mesh,
+                          scan: bool = False) -> bool:
     """int8 frozen base + single process/device: the bf16 dense layer
     weights are dead in sparse-phase compute (planned linears run through
-    wq/sw/base with the exact block correction, frozen ones through wq/sw),
-    so they move to HOST memory and HBM holds only the int8 copy. Disabled
-    on meshes: there the dense weights are fsdp-sharded (cheap per chip)
-    and the multi-host gather/save machinery expects them on device."""
-    return (cfg.frozen_host_offload and mode == "matrix"
-            and resolve_frozen_quant(cfg, mode) == "int8"
+    wq/sw/base with the exact block/column correction, frozen ones through
+    wq/sw), so they move to HOST memory and HBM holds only the int8 copy.
+    Disabled on meshes: there the dense weights are fsdp-sharded (cheap per
+    chip) and the multi-host gather/save machinery expects them on device."""
+    return (cfg.frozen_host_offload
+            and resolve_frozen_quant(cfg, mode, scan=scan) == "int8"
             and mesh is None and jax.process_count() == 1)
 
 

@@ -115,7 +115,8 @@ def test_scan_auto_resolution():
     deep = dataclasses.replace(LlamaConfig.tiny(), num_hidden_layers=32)
     assert resolve_scan_layers(smt_cfg(), deep, "matrix")
     assert not resolve_scan_layers(smt_cfg(), CFG, "matrix")  # 2 layers
-    assert not resolve_scan_layers(smt_cfg(), deep, "channel")
+    assert resolve_scan_layers(smt_cfg(), deep, "channel")  # since r3
     assert not resolve_scan_layers(smt_cfg(scan_layers="off"), deep, "matrix")
     with pytest.raises(ValueError):
-        resolve_scan_layers(smt_cfg(scan_layers="on"), deep, "channel")
+        resolve_scan_layers(smt_cfg(scan_layers="on", dtype="fp16"), deep,
+                            "matrix")
