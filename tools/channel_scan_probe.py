@@ -71,7 +71,6 @@ def main():
     plan = SMTPlan(mode="channel", linears=linears)
     idx = stack_plan_indices(plan, L)
 
-    @jax.jit
     def gen_quant(key, ci, shape):
         w = jax.random.normal(key, shape, jnp.bfloat16) * 0.02
         wq, sw = quantize_weight(w)
