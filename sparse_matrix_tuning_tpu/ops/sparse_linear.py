@@ -176,6 +176,68 @@ def _grouped_correction(out2, other2, delta, blocks: tuple, by: str,
     return out2
 
 
+# Correction strategy for the UNROLLED q8 path. Swept in situ on the v5e
+# (SMT_Q8_CORR={grouped,dyn,batched} x tools/q8_step_probe.py 3, 8B-width
+# L=3, bs8/seq1024, offload off): f+b grouped 164.9ms / dyn 184.6ms /
+# batched 204.7ms — grouped (one matmul + contiguous slice-add per unique
+# out-block group) wins; the batched single-dot_general variant loses to
+# the (n,T,256) gather/transpose it needs. Default stays grouped;
+# SMT_Q8_CORR overrides for measurement and tests.
+def _q8_corr_impl() -> str:
+    import os
+    return os.environ.get("SMT_Q8_CORR", "grouped")
+
+
+def _batched_correction(out2, src2, delta, blocks: tuple, by: str):
+    """All block corrections in ONE batched MXU matmul, then one contiguous
+    slice-add per UNIQUE out block (segment-summed when several blocks
+    share it): panels = src2[:, i_j] gathered once -> (n, T, 256);
+    corr = panels @ D_j -> (n, T, 256); out2[:, o_g] += sum_{j in g} corr_j.
+
+    vs _grouped_correction (one matmul + concat per group) this turns G
+    small matmuls into one batched call and drops the concat copies — but
+    measured SLOWER in situ at 8B widths (f+b 204.7ms vs grouped's
+    164.9ms, tools/q8_step_probe.py): the (n,T,256) panel gather +
+    transpose costs more than the concats it removes. Kept for the
+    SMT_Q8_CORR sweep, not the default."""
+    idx_out = [(r if by == "r" else c) for r, c in blocks]
+    idx_in = [(c if by == "r" else r) for r, c in blocks]
+    t = src2.shape[0]
+    panels = jnp.take(src2.reshape(t, -1, BLOCK),
+                      jnp.asarray(idx_in, jnp.int32), axis=1
+                      ).transpose(1, 0, 2)                     # (n, T, 256)
+    mats = delta.transpose(0, 2, 1) if by == "r" else delta    # (n, 256, 256)
+    corr = jax.lax.dot_general(
+        panels, mats.astype(panels.dtype),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                    # (n, T, 256)
+    groups: dict = {}
+    for j, o in enumerate(idx_out):
+        groups.setdefault(o, []).append(j)
+    for o, js in sorted(groups.items()):
+        add = corr[js[0]] if len(js) == 1 else corr[jnp.asarray(js)].sum(0)
+        sl = jax.lax.slice_in_dim(out2, o * BLOCK, (o + 1) * BLOCK, axis=1)
+        upd = (sl.astype(jnp.float32) + add).astype(out2.dtype)
+        out2 = jax.lax.dynamic_update_slice_in_dim(out2, upd, o * BLOCK,
+                                                   axis=1)
+    return out2
+
+
+def _q8_correction(out2, src2, delta, blocks: tuple, by: str):
+    impl = _q8_corr_impl()
+    if impl == "dyn":
+        rb = jnp.asarray([r for r, _ in blocks], jnp.int32)
+        cb = jnp.asarray([c for _, c in blocks], jnp.int32)
+        if by == "r":
+            return _dyn_correction(out2, src2, delta.transpose(0, 2, 1),
+                                   rb, cb)
+        return _dyn_correction(out2, src2, delta, cb, rb)
+    if impl == "batched":
+        return _batched_correction(out2, src2, delta, blocks, by)
+    return _grouped_correction(out2, src2, delta, blocks, by,
+                               transpose_delta=(by == "r"))
+
+
 def _q8_forward(lp: LinearPlan, x, blocks, wq, sw, base_blocks):
     from sparse_matrix_tuning_tpu.ops.quant import q8_matmul_t
     y = q8_matmul_t(x, wq, sw)                      # (..., O)
@@ -183,9 +245,8 @@ def _q8_forward(lp: LinearPlan, x, blocks, wq, sw, base_blocks):
     t_shape = x.shape[:-1]
     x2 = x.reshape(-1, lp.in_dim)
     y2 = y.reshape(-1, lp.out_dim)
-    # y[:, rb] += x[:, cb] @ delta.T, grouped by unique rb
-    y2 = _grouped_correction(y2, x2, delta, lp.blocks, by="r",
-                             transpose_delta=True)
+    # y[:, rb] += x[:, cb] @ delta.T
+    y2 = _q8_correction(y2, x2, delta, lp.blocks, by="r")
     return y2.reshape(*t_shape, lp.out_dim)
 
 
@@ -209,9 +270,9 @@ def _smt_linear_q8_bwd(lp: LinearPlan, impl: str, res, g):
     x2 = x.reshape(-1, lp.in_dim)
 
     grad_x = q8_matmul(g2, wq, sw)                  # (T, I)
-    # grad_x[:, cb] += g[:, rb] @ delta, grouped by unique cb
-    grad_x = _grouped_correction(grad_x, g2, delta, lp.blocks, by="c",
-                                 transpose_delta=False).reshape(x.shape)
+    # grad_x[:, cb] += g[:, rb] @ delta
+    grad_x = _q8_correction(grad_x, g2, delta, lp.blocks,
+                            by="c").reshape(x.shape)
 
     if _resolve_impl(impl) == "pallas":
         from sparse_matrix_tuning_tpu.ops.pallas.block_grad import block_grad_weight

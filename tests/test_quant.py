@@ -252,3 +252,40 @@ def test_q8_checkpoint_resume():
     l1 = [float(t1.train_step(b)["loss"]) for b in batches[4:]]
     l2 = [float(t2.train_step(b)["loss"]) for b in batches[4:]]
     np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+def test_q8_correction_impls_agree(monkeypatch):
+    """The three SMT_Q8_CORR strategies (grouped / dyn / batched — swept on
+    the v5e, grouped fastest) must be numerically interchangeable: same
+    forward, same grad_x, bitwise-same grad_blocks. Plan shares a row-block
+    AND a col-block across entries to exercise the segment-sum paths."""
+    rng = np.random.default_rng(11)
+    O, I = 2 * BLOCK, 2 * BLOCK
+    lp = LinearPlan("q_proj", 0, O, I, blocks=((0, 0), (1, 0), (0, 1)))
+    from sparse_matrix_tuning_tpu.ops.quant import quantize_weight
+    w = jnp.asarray(rng.standard_normal((O, I)) * 0.02, jnp.float32)
+    wq, sw = quantize_weight(w)
+    rb, cb = lp.row_blocks(), lp.col_blocks()
+    wq4 = wq.reshape(O // BLOCK, BLOCK, I // BLOCK, BLOCK)
+    base = wq4[jnp.asarray(rb), :, jnp.asarray(cb), :].astype(jnp.float32) \
+        * sw.reshape(O // BLOCK, BLOCK)[rb][:, :, None]
+    w4 = w.reshape(O // BLOCK, BLOCK, I // BLOCK, BLOCK)
+    blocks = w4[jnp.asarray(rb), :, jnp.asarray(cb), :].astype(jnp.float32)
+    x = jnp.asarray(rng.standard_normal((8, I)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((8, O)) * 0.1, jnp.float32)
+
+    outs = {}
+    for impl in ("grouped", "dyn", "batched"):
+        monkeypatch.setenv("SMT_Q8_CORR", impl)
+        y, vjp = jax.vjp(
+            lambda xx, b: smt_linear_q8(xx, b, wq, sw, base, lp,
+                                        impl="oracle"), x, blocks)
+        gx, gb = vjp(g)
+        outs[impl] = (np.asarray(y), np.asarray(gx), np.asarray(gb))
+    ref = outs["grouped"]
+    for impl in ("dyn", "batched"):
+        np.testing.assert_allclose(outs[impl][0], ref[0], rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(outs[impl][1], ref[1], rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_array_equal(outs[impl][2], ref[2])

@@ -117,3 +117,28 @@ def test_left_padded_batch_rejected_for_fused_attention():
                     init_params(jax.random.PRNGKey(0), CFG), total_steps=4)
     m = t2.train_step(batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_q8_eval_forward_equals_training_forward():
+    """VERDICT r2 #6: on a planned int8(+offload) model, the eval forward
+    must BE the training forward — same q8-corrected dispatch, same loss
+    on the same state and batch — so quality numbers measured via eval
+    speak for what training actually computed."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    cfg = smt_cfg(frozen_quant="int8", frozen_host_offload=True)
+    t = SMTTrainer(cfg, CFG, init_params(jax.random.PRNGKey(0), CFG),
+                   total_steps=6)
+    batches = make_batches(5, bsz=8)
+    for b in batches[:3]:
+        t.train_step(b)
+    assert t.phase == "sparse" and "q" in t.state
+
+    # real copies: the sparse step donates its input state buffers
+    snapshot = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                            t.state)
+    loss_train = float(t.train_step(batches[3])["loss"])
+    t.state = snapshot  # rewind: train_step reported loss at THIS state
+    _, loss_eval = t.evaluate(iter(batches[3:4]))
+    np.testing.assert_allclose(loss_eval, loss_train, rtol=1e-6, atol=0)

@@ -48,7 +48,7 @@ def main():
                     lr_scheduler_type="constant", eval_step=0, save_steps=0,
                     gradient_checkpointing=True,
                     sparse_gradient_checkpointing=False,
-                    frozen_quant="int8",
+                    frozen_quant="int8", frozen_host_offload=False,
                     max_seq_len=seq, seq_buckets=[seq])
     params = init_params(jax.random.PRNGKey(0), cfg_m, dtype=cfg.param_dtype)
     tr = SMTTrainer(cfg, cfg_m, params, total_steps=100)
