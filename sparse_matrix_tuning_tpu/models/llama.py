@@ -431,11 +431,13 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
     smt_linear_dyn). No dropout (scan is a sparse-phase path; reference
     sparse training runs dropout-free by default).
 
-    stop_grad_below_layer is honored semantically (grads below are zero,
-    torch-autograd parity P18) — but unlike the unrolled form XLA cannot
-    DCE the skipped layers' backward work out of a scan, so the perf
-    benefit of a high cut is lost; deep models usually select low layers
-    anyway."""
+    stop_grad_below_layer is honored with the unrolled form's perf
+    semantics too (torch-autograd parity P18): the scan splits statically
+    into a frozen-prefix scan (layers [0, cut), output stop-gradiented —
+    no cotangent ever enters it, so XLA DCEs its entire backward and
+    residual saves) and a trainable-suffix scan over the rest. A single
+    scan can't do this (the stop flag is data inside the body, so the
+    transpose computes — then zeroes — every layer's backward)."""
     b, s = input_ids.shape
     if attention_mask is None:
         attention_mask = jnp.ones((b, s), jnp.int32)
@@ -459,18 +461,17 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
                                   policy=jax.checkpoint_policies.nothing_saveable)
 
     n_layers = cfg.num_hidden_layers
-    stop_flags = jnp.zeros((n_layers,), bool)
-    if stop_grad_below_layer is not None:
-        stop_flags = stop_flags.at[min(stop_grad_below_layer,
-                                       n_layers - 1)].set(
-            stop_grad_below_layer < n_layers)
+    # cut == k means "stop_gradient at the entry of layer k" (k == 0 still
+    # cuts embedding grads, matching the unrolled form); k >= L disables it
+    cut = None
+    if stop_grad_below_layer is not None and stop_grad_below_layer < n_layers:
+        cut = max(0, int(stop_grad_below_layer))
 
-    xs = {"lp": params["layers_stacked"], "stop": stop_flags}
+    xs = {"lp": params["layers_stacked"]}
     if layer_xs is not None:
         xs["ex"] = layer_xs
 
     def body(x, xs_l):
-        x = jnp.where(xs_l["stop"], jax.lax.stop_gradient(x), x)
         if linear_scan is not None:
             ex = xs_l["ex"]
 
@@ -483,7 +484,15 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
                      attn_impl)
         return x, None
 
-    x, _ = jax.lax.scan(body, x, xs)
+    if cut is None:
+        x, _ = jax.lax.scan(body, x, xs)
+    else:
+        if cut > 0:
+            xs_pre = jax.tree.map(lambda a: a[:cut], xs)
+            x, _ = jax.lax.scan(body, x, xs_pre)
+        x = jax.lax.stop_gradient(x)
+        xs_suf = jax.tree.map(lambda a: a[cut:], xs)
+        x, _ = jax.lax.scan(body, x, xs_suf)
 
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if return_hidden:

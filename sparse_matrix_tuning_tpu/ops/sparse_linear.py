@@ -225,6 +225,13 @@ def _batched_correction(out2, src2, delta, blocks: tuple, by: str):
 
 def _q8_correction(out2, src2, delta, blocks: tuple, by: str):
     impl = _q8_corr_impl()
+    if impl == "pallas":
+        from sparse_matrix_tuning_tpu.ops.pallas.correction import (
+            block_correction)
+        io = tuple((r if by == "r" else c) for r, c in blocks)
+        ii = tuple((c if by == "r" else r) for r, c in blocks)
+        mats = delta.transpose(0, 2, 1) if by == "r" else delta
+        return block_correction(out2, src2, mats, io, ii)
     if impl == "dyn":
         rb = jnp.asarray([r for r, _ in blocks], jnp.int32)
         cb = jnp.asarray([c for _, c in blocks], jnp.int32)
@@ -338,6 +345,23 @@ frozen_q8_linear.defvjp(_frozen_q8_fwd, _frozen_q8_bwd)
 # cheap on TPU) rather than index-array scatters (which serialize, see
 # _grouped_correction notes).
 
+def _dyn_correction_dispatch(out2, src2, delta_mats, idx_out, idx_in,
+                             impl: str):
+    """Traced-coordinate correction: fused Pallas kernel on TPU (sorted by
+    out block — kernel precondition; duplicate-o runs stay VMEM-resident),
+    sequential XLA chain elsewhere (interpret-mode Pallas is test-only).
+    SMT_DYN_CORR=chain forces the old sequential form (A/B measurement)."""
+    import os
+    if os.environ.get("SMT_DYN_CORR") == "chain":
+        return _dyn_correction(out2, src2, delta_mats, idx_out, idx_in)
+    if _resolve_impl(impl) == "pallas":
+        from sparse_matrix_tuning_tpu.ops.pallas.correction import (
+            block_correction_dyn, sort_by_out)
+        io, ii, dm = sort_by_out(idx_out, idx_in, delta_mats)
+        return block_correction_dyn(out2, src2, dm, io, ii)
+    return _dyn_correction(out2, src2, delta_mats, idx_out, idx_in)
+
+
 def _dyn_correction(out2, src2, delta_mats, idx_out, idx_in):
     """out2[:, o_j*256:+256] += src2[:, i_j*256:+256] @ delta_mats[j], with
     o = idx_out, i = idx_in traced. Sequential over the (small, static)
@@ -375,13 +399,14 @@ def _dyn_delta(blocks, base_blocks, valid, dtype):
             * valid.astype(blocks.dtype)[:, None, None]).astype(dtype)
 
 
-def _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks):
+def _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks,
+                 impl: str = "auto"):
     y = _base_matmul(x, frozen)
     delta = _dyn_delta(blocks, base_blocks, valid, x.dtype)
     t_shape = x.shape[:-1]
-    y2 = _dyn_correction(y.reshape(-1, y.shape[-1]),
-                         x.reshape(-1, x.shape[-1]),
-                         delta.transpose(0, 2, 1), rb, cb)
+    y2 = _dyn_correction_dispatch(y.reshape(-1, y.shape[-1]),
+                                  x.reshape(-1, x.shape[-1]),
+                                  delta.transpose(0, 2, 1), rb, cb, impl)
     return y2.reshape(*t_shape, y.shape[-1])
 
 
@@ -392,11 +417,11 @@ def smt_linear_dyn(impl: str, x, blocks, rb, cb, valid, frozen, base_blocks):
     frozen: {"w": (O, I)} bf16 dense or {"wq": int8, "sw": fp32} q8 base —
     NEVER updated during the sparse phase. blocks/base_blocks: (n, 256,
     256); rb/cb: (n,) int32; valid: (n,) bool."""
-    return _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks)
+    return _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks, impl)
 
 
 def _smt_linear_dyn_fwd(impl, x, blocks, rb, cb, valid, frozen, base_blocks):
-    y = _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks)
+    y = _dyn_forward(x, blocks, rb, cb, valid, frozen, base_blocks, impl)
     delta = _dyn_delta(blocks, base_blocks, valid, x.dtype)
     return y, (x, rb, cb, valid, frozen, delta,
                jnp.zeros((0,), blocks.dtype))
@@ -408,7 +433,8 @@ def _smt_linear_dyn_bwd(impl: str, res, g):
     x2 = x.reshape(-1, x.shape[-1])
 
     grad_x = _base_matmul_T(g2, frozen)
-    grad_x = _dyn_correction(grad_x, g2, delta, cb, rb).reshape(x.shape)
+    grad_x = _dyn_correction_dispatch(grad_x, g2, delta, cb, rb,
+                                      impl).reshape(x.shape)
 
     if _resolve_impl(impl) == "pallas":
         from sparse_matrix_tuning_tpu.ops.pallas.block_grad import (

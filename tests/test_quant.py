@@ -275,7 +275,7 @@ def test_q8_correction_impls_agree(monkeypatch):
     g = jnp.asarray(rng.standard_normal((8, O)) * 0.1, jnp.float32)
 
     outs = {}
-    for impl in ("grouped", "dyn", "batched"):
+    for impl in ("grouped", "dyn", "batched", "pallas"):
         monkeypatch.setenv("SMT_Q8_CORR", impl)
         y, vjp = jax.vjp(
             lambda xx, b: smt_linear_q8(xx, b, wq, sw, base, lp,
@@ -283,7 +283,7 @@ def test_q8_correction_impls_agree(monkeypatch):
         gx, gb = vjp(g)
         outs[impl] = (np.asarray(y), np.asarray(gx), np.asarray(gb))
     ref = outs["grouped"]
-    for impl in ("dyn", "batched"):
+    for impl in ("dyn", "batched", "pallas"):
         np.testing.assert_allclose(outs[impl][0], ref[0], rtol=1e-5,
                                    atol=1e-5)
         np.testing.assert_allclose(outs[impl][1], ref[1], rtol=1e-5,

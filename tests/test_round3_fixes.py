@@ -6,6 +6,7 @@ import os
 import tempfile
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -142,3 +143,41 @@ def test_q8_eval_forward_equals_training_forward():
     t.state = snapshot  # rewind: train_step reported loss at THIS state
     _, loss_eval = t.evaluate(iter(batches[3:4]))
     np.testing.assert_allclose(loss_eval, loss_train, rtol=1e-6, atol=0)
+
+
+def test_two_segment_scan_stop_grad_semantics():
+    """VERDICT r2 weak #5: forward_scan now splits at stop_grad_below_layer
+    into a frozen-prefix scan (backward DCE'd) + trainable-suffix scan.
+    Semantics must be unchanged: same logits, zero grads for stacked layer
+    params below the cut, unrolled-matching grads above it."""
+    from sparse_matrix_tuning_tpu.models.llama import (
+        causal_lm_loss, forward, forward_scan, init_params, stack_layers)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    sp = stack_layers(params, CFG)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                             CFG.vocab_size)
+    labels = jnp.where(
+        jax.random.uniform(jax.random.PRNGKey(2), (2, 16)) < 0.2, -100, ids)
+    cut = CFG.num_hidden_layers // 2
+
+    def loss_scan(stacked):
+        p = dict(sp, layers_stacked=stacked)
+        lg = forward_scan(p, ids, CFG, stop_grad_below_layer=cut)
+        return causal_lm_loss(lg, labels)
+
+    def loss_unrolled(layers):
+        p = dict(params, layers=layers)
+        lg = forward(p, ids, CFG, stop_grad_below_layer=cut)
+        return causal_lm_loss(lg, labels)
+
+    l_s, g_s = jax.value_and_grad(loss_scan)(sp["layers_stacked"])
+    l_u, g_u = jax.value_and_grad(loss_unrolled)(params["layers"])
+    np.testing.assert_allclose(float(l_s), float(l_u), rtol=1e-6)
+    for mod, ga in g_s.items():
+        below = np.asarray(jax.tree.leaves(ga)[0][:cut])
+        assert not below.any(), f"{mod}: nonzero grad below the cut"
+        for li in range(cut, CFG.num_hidden_layers):
+            np.testing.assert_allclose(
+                np.asarray(ga[li]), np.asarray(g_u[str(li)][mod]),
+                rtol=1e-4, atol=1e-6, err_msg=f"{mod} layer {li}")

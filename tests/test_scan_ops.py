@@ -120,3 +120,30 @@ def test_dyn_padded_entries_are_inert():
     np.testing.assert_allclose(np.asarray(y3), np.asarray(y2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g3[:2]), np.asarray(g2), rtol=1e-6)
     assert np.all(np.asarray(g3[2]) == 0.0)
+
+
+def test_dyn_pallas_correction_matches_oracle():
+    """impl="pallas" routes the traced-coordinate corrections through the
+    fused Pallas epilogue kernel (ops/pallas/correction.py, interpret mode
+    off-TPU): forward, grad_blocks and grad_x must match the sequential
+    oracle chain. Duplicate out-blocks exercise the VMEM-resident run."""
+    lp, w0, base, blocks, x, g_w, rb, cb = _setup()
+    # duplicate-row plan: both blocks write row-block 0
+    rb = jnp.asarray([0, 0], jnp.int32)
+    cb = jnp.asarray([1, 0], jnp.int32)
+    valid = jnp.ones((2,), bool)
+
+    def run(impl):
+        def loss(blocks, x):
+            y = smt_linear_dyn(impl, x, blocks, rb, cb, valid,
+                               {"w": w0}, base)
+            return jnp.sum(y * g_w), y
+        (_, y), grads = jax.value_and_grad(loss, argnums=(0, 1),
+                                           has_aux=True)(blocks, x)
+        return np.asarray(y), np.asarray(grads[0]), np.asarray(grads[1])
+
+    y_o, gb_o, gx_o = run("oracle")
+    y_p, gb_p, gx_p = run("pallas")
+    np.testing.assert_allclose(y_p, y_o, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gb_p, gb_o, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gx_p, gx_o, rtol=1e-5, atol=1e-5)

@@ -8,9 +8,17 @@ training prompt formatting, two-phase SMT, merged export, eval prompt,
 beam decode, answer extraction, accuracy accounting — with an objective
 signal (accuracy must exceed 90% on held-out pairs).
 
-Run: python tools/synthetic_eval_tpu.py [frozen_quant]   (none|int8|auto)
+Run: python tools/synthetic_eval_tpu.py [frozen_quant] [geometry]
+  frozen_quant: none|int8|auto        (default auto)
+  geometry:     base|deep             (default base)
+
 Running it once with `none` and once with `int8` is the quality-parity
-evidence for the int8 frozen base (PARITY.md D17).
+evidence for the int8 frozen base (PARITY.md D17). `deep` switches to a
+12-layer / head_dim-128 model so the CURRENT default TPU stack engages
+end-to-end — scan-over-layers (>=12 layers), fullk attention
+(head_dim%128==0), int8 frozen base + host offload (matrix mode on TPU)
+— making the run quality-parity evidence for the whole fast path, not
+just the quantizer (VERDICT r2 #6).
 """
 import json
 import os
@@ -25,17 +33,23 @@ import numpy as np
 from smoke_tpu import build_ckpt as _build_small_ckpt  # BPE tokenizer builder
 
 
-def build_ckpt(d):
+def build_ckpt(d, geometry="base"):
     """4-layer variant of the smoke checkpoint (equality task needs a bit
-    more attention depth than the 2-layer smoke model)."""
+    more attention depth than the 2-layer smoke model). "deep" makes it
+    12 layers with head_dim 128 so scan + fullk engage (module notes)."""
     import torch
     from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
     _build_small_ckpt(d)  # writes tokenizer + 8-layer model; overwrite model
+    if geometry == "deep":
+        shape = dict(num_hidden_layers=12, num_attention_heads=4,
+                     num_key_value_heads=2)   # head_dim 512/4 = 128
+    else:
+        shape = dict(num_hidden_layers=4, num_attention_heads=8,
+                     num_key_value_heads=4)
     hf_cfg = HFConfig(
         vocab_size=1024, hidden_size=512, intermediate_size=1024,
-        num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=4,
         max_position_embeddings=512, tie_word_embeddings=False,
-        attention_bias=False)
+        attention_bias=False, **shape)
     torch.manual_seed(0)
     LlamaForCausalLM(hf_cfg).save_pretrained(d, safe_serialization=True)
 
@@ -58,10 +72,11 @@ def main():
     from sparse_matrix_tuning_tpu.cli.fine_tune import main as ft_main
     from sparse_matrix_tuning_tpu.cli.run_commonsense import main as eval_main
 
+    geometry = sys.argv[2] if len(sys.argv) > 2 else "base"
     work = tempfile.mkdtemp(prefix="syneval_")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(ckpt)
-    build_ckpt(ckpt)
+    build_ckpt(ckpt, geometry)
 
     rng = np.random.default_rng(0)
     train = [make_example(rng) for _ in range(2400)]
@@ -104,7 +119,8 @@ def main():
         "--max_new_tokens", "8", "--num_beams", "4",
     ])
     acc = results["boolq"]
-    print(f"SYNTHETIC EVAL accuracy: {acc*100:.1f}%")
+    print(f"SYNTHETIC EVAL accuracy: {acc*100:.1f}% "
+          f"(frozen_quant={frozen_quant}, geometry={geometry})")
     # Bar: clearly above the 50% chance floor. Measured ceiling is model
     # capacity, not the pipeline: FULL fine-tuning of this 10M model
     # plateaus at the same ~0.2-0.4 loss / ~70% accuracy as the SMT run
