@@ -563,7 +563,9 @@ def _scan_loss(state: Dict, batch: Dict, trainable, cfg: SMTConfig,
               remat=cfg.sparse_remat,
               stop_grad_below_layer=lowest_layer,
               attn_impl=cfg.attn_impl)
-    if _use_chunked_loss(cfg, model_cfg):
+    b, sq = batch["input_ids"].shape
+    if _use_chunked_loss(cfg, model_cfg, sparse=True,
+                         batch_tokens=b * (sq - 1)):
         hidden = forward_scan(state["params"], batch["input_ids"], model_cfg,
                               return_hidden=True, **kw)
         return chunked_causal_lm_loss(hidden,

@@ -21,7 +21,7 @@ smt.py:331-341).
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,11 +44,30 @@ def _cast_tree(tree, dtype):
     return jax.tree.map(lambda p: p.astype(dtype), tree)
 
 
-def _use_chunked_loss(cfg: SMTConfig, model_cfg: LlamaConfig) -> bool:
+# fp32 logits budget for the "auto" loss policy in the sparse phase: the
+# residual the dense CE saves for backward. 2 GiB ~ 2-3x that transient in
+# peak terms — comfortable next to the sparse phase's small live set.
+_SPARSE_DENSE_LOSS_BUDGET = 2 * 1024**3
+
+
+def _use_chunked_loss(cfg: SMTConfig, model_cfg: LlamaConfig,
+                      sparse: bool = False,
+                      batch_tokens: Optional[int] = None) -> bool:
+    """Loss-path policy. The chunked form (ops/loss.py) never materialises
+    the (T, V) fp32 logits but pays ~1.5x the loss FLOPs (the checkpointed
+    backward recomputes each chunk's logits: measured 47.2 vs 31.7 ms f+b
+    at T=8192/V=32000/h=4096 on the v5e). Memory-tight phases (full-FT
+    warm-up, huge-vocab scan models) need chunked; the SPARSE phase's live
+    set is small (int8 base + offload), so when the logits residual fits
+    the budget the dense form's fewer FLOPs win — another place SMT's
+    freed HBM buys back step time."""
     if cfg.loss_impl == "chunked":
         return True
     if cfg.loss_impl == "full":
         return False
+    if sparse and batch_tokens is not None:
+        return (batch_tokens * model_cfg.vocab_size * 4
+                > _SPARSE_DENSE_LOSS_BUDGET)
     return model_cfg.vocab_size >= 16384  # "auto"
 
 
@@ -88,15 +107,18 @@ def accumulated_value_and_grad(loss_of, batch, accum_steps: int):
 
 def compute_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
                  linear=None, remat=True, stop_grad_below_layer=None,
-                 dropout_rng=None):
+                 dropout_rng=None, sparse=False):
     """Shared loss path for all steps: full logits + CE, or fused
-    chunked-vocab CE (ops/loss.py) per cfg.loss_impl."""
+    chunked-vocab CE (ops/loss.py) per the _use_chunked_loss policy
+    (sparse-phase steps pass sparse=True to unlock the dense fast path)."""
     from sparse_matrix_tuning_tpu.models.llama import default_linear
     linear = linear or default_linear
     kw = dict(attention_mask=batch.get("attention_mask"), linear=linear,
               remat=remat, stop_grad_below_layer=stop_grad_below_layer,
               attn_impl=cfg.attn_impl, dropout_rng=dropout_rng)
-    if _use_chunked_loss(cfg, model_cfg):
+    b, sq = batch["input_ids"].shape
+    if _use_chunked_loss(cfg, model_cfg, sparse=sparse,
+                         batch_tokens=b * (sq - 1)):
         hidden = forward(params, batch["input_ids"], model_cfg,
                          return_hidden=True, **kw)
         return chunked_causal_lm_loss(hidden, lm_head_weight(params, model_cfg),
@@ -404,7 +426,7 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
             raw = compute_loss(params, mb, cfg, model_cfg, linear=linear,
                                remat=cfg.sparse_remat,
                                stop_grad_below_layer=lowest_layer,
-                               dropout_rng=drng)
+                               dropout_rng=drng, sparse=True)
             return raw * state["loss_scale"] if use_ls else raw
 
         vag = accumulated_value_and_grad(loss_of, batch,

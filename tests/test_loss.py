@@ -49,3 +49,30 @@ def test_all_ignored_labels():
     head = jnp.zeros((100, 8), jnp.float32)
     labels = jnp.full((1, 4), -100, jnp.int32)
     assert float(chunked_causal_lm_loss(hidden, head, labels, 64)) == 0.0
+
+
+def test_sparse_phase_loss_policy():
+    """auto policy: sparse steps go dense while the fp32 logits residual
+    fits the budget (fewer loss FLOPs — measured 31.7 vs 47.2 ms f+b at
+    T=8192/V=32000 on v5e), chunked beyond it; non-sparse contexts keep
+    the vocab-size rule; explicit loss_impl always wins."""
+    import dataclasses
+    from sparse_matrix_tuning_tpu.models.llama import LlamaConfig
+    from sparse_matrix_tuning_tpu.train.steps import _use_chunked_loss
+    from test_train_e2e import smt_cfg
+
+    cfg = smt_cfg()
+    v32k = dataclasses.replace(LlamaConfig.tiny(), vocab_size=32000)
+    v128k = dataclasses.replace(LlamaConfig.tiny(), vocab_size=128256)
+    t = 8 * 1023
+    # warm-up (non-sparse): vocab rule
+    assert _use_chunked_loss(cfg, v32k)
+    # sparse, 32k vocab: 8192*32000*4 ~ 1.0 GiB <= 2 GiB -> dense
+    assert not _use_chunked_loss(cfg, v32k, sparse=True, batch_tokens=t)
+    # sparse, 128k vocab: 4.2 GiB > budget -> chunked
+    assert _use_chunked_loss(cfg, v128k, sparse=True, batch_tokens=t)
+    # explicit override wins both ways
+    cfg_c = smt_cfg(loss_impl="chunked")
+    cfg_f = smt_cfg(loss_impl="full")
+    assert _use_chunked_loss(cfg_c, v32k, sparse=True, batch_tokens=t)
+    assert not _use_chunked_loss(cfg_f, v128k)

@@ -36,9 +36,14 @@ def main():
     common = dict(data_path=["b.json"], model_name_or_path="b", dtype="bf16",
                   ft_learning_rate=1e-5, smt_lr=1e-5, lr_scheduler_type="constant",
                   eval_step=0, save_steps=0, max_seq_len=seq, seq_buckets=[seq])
+    # bf16 frozen base + no offload so state["params"] keeps real dense
+    # weights for the decomposition passes below (the default int8+offload
+    # stack replaces them with host placeholders; the int8 step's own
+    # fwd/bwd split lives in tools/q8_step_probe.py)
     cfg = SMTConfig(matrix_sparsity=True, full_ft_steps=1,
                     downsample_attention_blocks_ratio=0.0084,
                     downsample_mlp_blocks_ratio=0.0084,
+                    frozen_quant="none", frozen_host_offload=False,
                     gradient_checkpointing=False, **common)
     params = init_params(jax.random.PRNGKey(0), model_cfg, dtype=cfg.param_dtype)
     trainer = SMTTrainer(cfg, model_cfg, params, total_steps=100)
