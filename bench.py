@@ -179,11 +179,17 @@ def run_phase(phase: str, small: bool) -> dict:
         from sparse_matrix_tuning_tpu.models.llama import resolve_attn_impl
         from sparse_matrix_tuning_tpu.ops.sparse_linear import _resolve_impl
         from sparse_matrix_tuning_tpu.train.convert import resolve_frozen_quant
+        from sparse_matrix_tuning_tpu.train.steps import _use_chunked_loss
         mode = (trainer.plan.mode if trainer.plan is not None
                 else ("matrix" if cfg.matrix_sparsity else "none"))
+        fq = resolve_frozen_quant(cfg, mode,
+                                  scan=bool(getattr(trainer, "_scan", False)))
         return {
-            "frozen_quant": resolve_frozen_quant(
-                cfg, mode, scan=bool(getattr(trainer, "_scan", False))),
+            "frozen_quant": fq,
+            "head_quant": "int8" if "q_head" in trainer.state else "none",
+            "loss_impl": ("chunked" if _use_chunked_loss(
+                cfg, model_cfg, sparse=True, batch_tokens=bsz * (seq - 1))
+                else "full"),
             "attn_impl": resolve_attn_impl(cfg.attn_impl, seq,
                                            model_cfg.head_dim),
             "scan": bool(getattr(trainer, "_scan", False)),

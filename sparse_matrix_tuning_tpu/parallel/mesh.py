@@ -201,6 +201,9 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
                 out_axis = _weight_pspec(module)[0]
                 return P(None, out_axis) if stacked else P(out_axis)
             return trainable_pspec("matrix")  # base blocks (unrolled only)
+        if top == "q_head":
+            # int8 lm-head {wq (V, D), sw (V,)}: mirror the bf16 lm_head
+            return P("tensor", "fsdp") if keys[1] == "wq" else P("tensor")
         return P()
 
     def _param_leaf_spec(sub):

@@ -73,6 +73,9 @@ def save_checkpoint(path: str, trainer) -> None:
                 trainer.cfg, trainer.plan.mode,
                 scan=bool(getattr(trainer, "_scan", False))),
         }
+        # head_quant presence changes the state structure too (q_head leaf)
+        meta["resolved"]["head_quant"] = (
+            "int8" if "q_head" in trainer.state else "none")
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(path, "config.json"), "w") as f:
@@ -111,12 +114,14 @@ def restore_checkpoint(path: str, trainer) -> None:
         saved = meta.get("resolved")
         if saved is not None:
             from sparse_matrix_tuning_tpu.train.convert import (
-                resolve_frozen_quant)
+                resolve_frozen_quant, resolve_head_quant)
+            now_fq = resolve_frozen_quant(trainer.cfg, plan.mode, scan=scan)
             now = {"scan": scan,
                    "host_offload": host_frozen is not None,
-                   "frozen_quant": resolve_frozen_quant(trainer.cfg,
-                                                        plan.mode,
-                                                        scan=scan)}
+                   "frozen_quant": now_fq,
+                   "head_quant": resolve_head_quant(trainer.cfg,
+                                                    trainer.model_cfg,
+                                                    now_fq)}
             diffs = {k: (saved[k], now[k]) for k in now
                      if k in saved and saved[k] != now[k]}
             if diffs:
@@ -131,6 +136,11 @@ def restore_checkpoint(path: str, trainer) -> None:
                     hints.append(
                         f"set --scan_layers {'on' if diffs['scan'][0] else 'off'} "
                         "to match the saved state layout")
+                if "head_quant" in diffs:
+                    hints.append(
+                        "set --head_quant explicitly to the saved value "
+                        f"({diffs['head_quant'][0]!r}) — 'auto' follows "
+                        "frozen_quant/loss policy resolution")
                 raise ValueError(
                     "checkpoint was saved with a different resolved sparse-"
                     f"phase layout: {{k: (saved, now)}} = {diffs}. "
@@ -151,6 +161,12 @@ def restore_checkpoint(path: str, trainer) -> None:
             # must be restored on the same backend class it was written on
             if resolve_frozen_quant(trainer.cfg, plan.mode) == "int8":
                 template["q"] = build_qweights(master["layers"], plan)
+                from sparse_matrix_tuning_tpu.train.convert import (
+                    build_q_head, resolve_head_quant)
+                if resolve_head_quant(trainer.cfg, trainer.model_cfg,
+                                      "int8") == "int8":
+                    template["q_head"] = build_q_head(master,
+                                                      trainer.model_cfg)
             if host_frozen is not None:
                 # the checkpoint was written with the dense weights on host
                 # — match its placeholder structure (values come from the

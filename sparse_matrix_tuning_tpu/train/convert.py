@@ -61,6 +61,38 @@ def resolve_frozen_quant(cfg: SMTConfig, mode: str,
     return "int8" if jax.devices()[0].platform == "tpu" else "none"
 
 
+def resolve_head_quant(cfg: SMTConfig, model_cfg, frozen_quant: str) -> str:
+    """head_quant="auto": int8 lm-head for the sparse-phase loss iff the
+    frozen base is int8 AND the training batch's fp32 logits fit the
+    dense-loss budget (the chunked loss path keeps the bf16 head — its
+    per-chunk matmul is fused with the online LSE). The estimate here uses
+    the full configured batch; actual buckets are never larger, so a run
+    resolved to dense stays dense for every bucket."""
+    if cfg.head_quant != "auto":
+        return cfg.head_quant
+    if frozen_quant != "int8":
+        return "none"
+    from sparse_matrix_tuning_tpu.train.steps import _SPARSE_DENSE_LOSS_BUDGET
+    if cfg.loss_impl == "chunked":
+        return "none"
+    est_tokens = cfg.per_device_ft_batch_size * max(cfg.max_seq_len - 1, 1)
+    if (cfg.loss_impl == "auto"
+            and est_tokens * model_cfg.vocab_size * 4
+            > _SPARSE_DENSE_LOSS_BUDGET):
+        return "none"
+    return "int8"
+
+
+def build_q_head(params, model_cfg) -> Dict:
+    """Quantize the (frozen) lm-head weight once: {"wq" int8 (V, D),
+    "sw" fp32 (V,)}. Tied models quantize the embedding matrix (the
+    embedding LOOKUP keeps reading the bf16 copy)."""
+    from sparse_matrix_tuning_tpu.models.llama import lm_head_weight
+    from sparse_matrix_tuning_tpu.ops.quant import quantize_weight
+    wq, sw = quantize_weight(lm_head_weight(params, model_cfg))
+    return {"wq": wq, "sw": sw}
+
+
 def build_qweights(layer_params, plan: SMTPlan) -> Dict:
     """Quantize every frozen layer linear once: {'{layer}.{module}':
     {"wq" int8 (O,I), "sw" fp32 (O,)[, "base" fp32 (n,256,256)]}}.
@@ -224,10 +256,14 @@ def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes,
     trainable = plan.gather(master["layers"], dtype=jnp.float32)
     state = init_sparse_state(params, trainable, step=int(warmup_state["step"]),
                               cfg=cfg)
-    if resolve_frozen_quant(cfg, plan.mode, scan=False) == "int8":
+    fq = resolve_frozen_quant(cfg, plan.mode, scan=False)
+    if fq == "int8":
         # quantize from the fp32 master (best rounding); wq/sw/base are
         # frozen constants that ride along in the state pytree
         state["q"] = build_qweights(master["layers"], plan)
+        if (model_cfg is not None
+                and resolve_head_quant(cfg, model_cfg, fq) == "int8"):
+            state["q_head"] = build_q_head(master, model_cfg)
     return plan, state
 
 

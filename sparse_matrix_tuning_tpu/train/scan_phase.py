@@ -352,6 +352,10 @@ def build_scan_sparse_state(cfg: SMTConfig, warmup_state: Dict,
     }
     if use_q8:
         state["q"] = q
+        from sparse_matrix_tuning_tpu.train.convert import (
+            build_q_head, resolve_head_quant)
+        if resolve_head_quant(cfg, model_cfg, "int8") == "int8":
+            state["q_head"] = build_q_head(master, model_cfg)
     return state
 
 
@@ -499,6 +503,10 @@ def build_scan_state_from_hf(cfg: SMTConfig, model_dir: str, plan: SMTPlan,
         "step": jnp.zeros((), jnp.int32),
         "q": q,
     }
+    from sparse_matrix_tuning_tpu.train.convert import (
+        build_q_head, resolve_head_quant)
+    if resolve_head_quant(cfg, model_cfg, "int8") == "int8":
+        state["q_head"] = build_q_head(params, model_cfg)
     return state, (host if keep_host else None)
 
 
@@ -571,6 +579,15 @@ def _scan_loss(state: Dict, batch: Dict, trainable, cfg: SMTConfig,
         return chunked_causal_lm_loss(hidden,
                                       lm_head_weight(state["params"], model_cfg),
                                       batch["labels"], cfg.vocab_chunk)
+    if "q_head" in state:
+        # int8 frozen lm-head on the dense loss path (see
+        # steps.compute_loss q_head notes; same resolve, same vjp)
+        hidden = forward_scan(state["params"], batch["input_ids"], model_cfg,
+                              return_hidden=True, **kw)
+        logits = frozen_q8_linear(hidden.astype(jnp.float32),
+                                  state["q_head"]["wq"],
+                                  state["q_head"]["sw"])
+        return causal_lm_loss(logits, batch["labels"])
     logits = forward_scan(state["params"], batch["input_ids"], model_cfg, **kw)
     return causal_lm_loss(logits, batch["labels"])
 

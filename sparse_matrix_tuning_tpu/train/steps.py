@@ -107,10 +107,17 @@ def accumulated_value_and_grad(loss_of, batch, accum_steps: int):
 
 def compute_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
                  linear=None, remat=True, stop_grad_below_layer=None,
-                 dropout_rng=None, sparse=False):
+                 dropout_rng=None, sparse=False, q_head=None):
     """Shared loss path for all steps: full logits + CE, or fused
     chunked-vocab CE (ops/loss.py) per the _use_chunked_loss policy
-    (sparse-phase steps pass sparse=True to unlock the dense fast path)."""
+    (sparse-phase steps pass sparse=True to unlock the dense fast path).
+
+    q_head: optional {"wq" int8 (V, D), "sw" fp32 (V,)} frozen int8
+    lm-head (train/convert.py build_q_head) — the DENSE loss path then
+    runs the head matmul on the MXU int8 path (frozen_q8_linear: int8
+    fwd + int8 grad_hidden, no weight grad — the head is frozen in the
+    sparse phase). The chunked path keeps the bf16 head: its per-chunk
+    matmul is fused with the online LSE, so q_head is ignored there."""
     from sparse_matrix_tuning_tpu.models.llama import default_linear
     linear = linear or default_linear
     kw = dict(attention_mask=batch.get("attention_mask"), linear=linear,
@@ -123,6 +130,15 @@ def compute_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
                          return_hidden=True, **kw)
         return chunked_causal_lm_loss(hidden, lm_head_weight(params, model_cfg),
                                       batch["labels"], cfg.vocab_chunk)
+    if q_head is not None:
+        from sparse_matrix_tuning_tpu.ops.sparse_linear import frozen_q8_linear
+        hidden = forward(params, batch["input_ids"], model_cfg,
+                         return_hidden=True, **kw)
+        # fp32 input -> q8_matmul_t returns fp32 logits directly (the
+        # int32-accum * scales product never round-trips through bf16)
+        logits = frozen_q8_linear(hidden.astype(jnp.float32),
+                                  q_head["wq"], q_head["sw"])
+        return causal_lm_loss(logits, batch["labels"])
     logits = forward(params, batch["input_ids"], model_cfg, **kw)
     return causal_lm_loss(logits, batch["labels"])
 
@@ -426,7 +442,8 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
             raw = compute_loss(params, mb, cfg, model_cfg, linear=linear,
                                remat=cfg.sparse_remat,
                                stop_grad_below_layer=lowest_layer,
-                               dropout_rng=drng, sparse=True)
+                               dropout_rng=drng, sparse=True,
+                               q_head=state.get("q_head"))
             return raw * state["loss_scale"] if use_ls else raw
 
         vag = accumulated_value_and_grad(loss_of, batch,
@@ -473,6 +490,8 @@ def build_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig, plan: SMTPlan,
                          count=opt_state["count"])
         if "q" in state:  # frozen int8 base: unchanged, aliased through donation
             new_state["q"] = state["q"]
+        if "q_head" in state:
+            new_state["q_head"] = state["q_head"]
         return new_state, metrics
 
     return step
@@ -533,7 +552,11 @@ def build_eval_step(cfg: SMTConfig, model_cfg: LlamaConfig,
                 linear = make_sparse_linear_dispatch(
                     plan, state["trainable"], cfg.sparse_impl,
                     qweights=state["q"])
+        # sparse-phase eval mirrors the training forward exactly, int8
+        # head included, so eval loss tracks the trained objective
         return compute_loss(params, batch, cfg, model_cfg, linear=linear,
-                            remat=cfg.gradient_checkpointing)
+                            remat=cfg.gradient_checkpointing,
+                            sparse="master" not in state,
+                            q_head=state.get("q_head"))
 
     return step
