@@ -299,12 +299,23 @@ def run_phase(phase: str, small: bool) -> dict:
         for mod in mods:  # host-offloaded placeholders
             stacked[mod] = jnp.zeros((L, 1), jnp.bfloat16)
         key, k1, k2 = jax.random.split(key, 3)
+
+        # int8 frozen lm-head (head_quant): the chunked loss runs the
+        # int8-per-chunk online LSE, so the bf16 head is compute-dead in
+        # training and offloaded to host (convert.offload_frozen_to_host
+        # does this for real runs; here it is simply never materialised).
+        # 1.05 GB bf16 -> 0.53 GB int8 resident.
+        @jax.jit
+        def gen_q_head(k):
+            w = jax.random.normal(k, (VOCAB, H), jnp.bfloat16) * 0.02
+            return quantize_weight(w)
+        hq_wq, hq_sw = gen_q_head(k2)
+
         state = {
             "params": {
                 "embed_tokens": jax.random.normal(k1, (VOCAB, H),
                                                   jnp.bfloat16) * 0.02,
-                "lm_head": jax.random.normal(k2, (VOCAB, H),
-                                             jnp.bfloat16) * 0.02,
+                "lm_head": jnp.zeros((1,), jnp.bfloat16),  # host-offloaded
                 "norm": jnp.ones((H,), jnp.bfloat16),
                 "layers_stacked": stacked,
             },
@@ -314,6 +325,7 @@ def run_phase(phase: str, small: bool) -> dict:
             "count": jnp.zeros((), jnp.int32),
             "step": jnp.zeros((), jnp.int32),
             "q": q,
+            "q_head": {"wq": hq_wq, "sw": hq_sw},
         }
         step_fn = jax.jit(build_scan_sparse_step(
             cfg, big, plan, make_lr_schedule("constant", 1e-5, 0, 100)),
@@ -335,7 +347,8 @@ def run_phase(phase: str, small: bool) -> dict:
                 "tokens": bsz * seq,
                 "total_params": total_params,
                 "trainable_params": plan.trainable_params,
-                "policies": {"frozen_quant": "int8", "scan": True,
+                "policies": {"frozen_quant": "int8", "head_quant": "int8",
+                             "loss_impl": "chunked", "scan": True,
                              "host_offload": True,
                              "attn_impl": resolve_attn_impl(
                                  cfg.attn_impl, seq, big.head_dim),

@@ -117,11 +117,12 @@ class SMTConfig:
     # weights).
     frozen_host_offload: bool = True
     # quantize the FROZEN lm-head matmul of the sparse-phase loss to int8
-    # too ("auto": engages when frozen_quant resolves to int8 AND the
-    # dense loss path is active — the chunked path keeps the bf16 head).
-    # Same custom_vjp as fully-frozen layer linears (frozen_q8_linear);
-    # saves ~11 ms/step at bench geometry (head+loss f+b 30.8 -> 20.1 ms,
-    # V=32000). Exports/eval-CLI generation still use the exact bf16 head.
+    # too ("auto": engages whenever frozen_quant resolves to int8). The
+    # dense loss path runs the same custom_vjp as fully-frozen layer
+    # linears (frozen_q8_linear); the chunked path runs the int8-per-chunk
+    # online-LSE (ops/loss.py chunked_causal_lm_loss_q8). Saves ~11 ms/step
+    # at bench geometry (head+loss f+b 30.8 -> 20.1 ms, V=32000).
+    # Exports/eval-CLI generation still use the exact bf16 head.
     head_quant: str = "auto"
     # sparse-phase layer loop: "off" = unrolled (one program copy per
     # layer), "on" = ONE lax.scan over stacked layers (depth-independent

@@ -75,3 +75,97 @@ def chunked_causal_lm_loss(hidden: jax.Array, head: jax.Array,
     tok_loss = jnp.where(valid, lse - tgt, 0.0)
     denom = jnp.maximum(valid.sum(), 1)
     return tok_loss.sum() / denom
+
+
+# ---------------------------------------------------------------------------
+# Int8-head variant (head_quant, train/convert.py resolve_head_quant)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _q8_chunk_logits(h, xq, sx, wqc, swc):
+    """fp32 chunk logits (T, C) = (xq @ wqc.T) * sx * swc on the MXU int8
+    path. h (T, D) fp32 rides along ONLY to carry the gradient: the fwd
+    never reads it (XLA DCEs it), and the bwd is the straight-through int8
+    grad_input of ops/sparse_linear.frozen_q8_linear — autodiff through
+    round/clip would yield zero grad_hidden."""
+    y = jax.lax.dot_general(xq, wqc, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * sx * swc
+
+
+def _q8_chunk_logits_fwd(h, xq, sx, wqc, swc):
+    return _q8_chunk_logits(h, xq, sx, wqc, swc), (xq, sx, wqc, swc)
+
+
+def _q8_chunk_logits_bwd(res, g):
+    from sparse_matrix_tuning_tpu.ops.quant import q8_matmul
+    from sparse_matrix_tuning_tpu.ops.sparse_linear import _zero_cotangent
+    xq, sx, wqc, swc = res
+    grad_h = q8_matmul(g, wqc, swc)
+    return (grad_h, _zero_cotangent(xq), jnp.zeros_like(sx),
+            _zero_cotangent(wqc), jnp.zeros_like(swc))
+
+
+_q8_chunk_logits.defvjp(_q8_chunk_logits_fwd, _q8_chunk_logits_bwd)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def chunked_causal_lm_loss_q8(hidden: jax.Array, head_wq: jax.Array,
+                              head_sw: jax.Array, labels: jax.Array,
+                              vocab_chunk: int = 4096):
+    """chunked_causal_lm_loss over an int8 frozen head (head_wq (V, D)
+    int8, head_sw (V,) fp32, train/convert.py build_q_head). The hidden
+    states are row-quantized ONCE (not per chunk); each chunk's matmul is
+    an int8 dot_general and the LSE stays fp32. Logit values are bitwise
+    what the dense-path frozen_q8_linear head produces, so the chunked and
+    dense q8 losses agree to fp32 reduction order."""
+    from sparse_matrix_tuning_tpu.ops.quant import row_quant
+
+    b, s, d = hidden.shape
+    v = head_wq.shape[0]
+    h = hidden[:, :-1, :].reshape(-1, d).astype(jnp.float32)   # (T, D)
+    t = labels[:, 1:].reshape(-1)                              # (T,)
+    valid = t != IGNORE_INDEX
+    tsafe = jnp.where(valid, t, 0)
+
+    xq, sx = row_quant(jax.lax.stop_gradient(h))
+
+    pad_v = (-v) % vocab_chunk
+    n_chunks = (v + pad_v) // vocab_chunk
+    if pad_v:
+        head_wq = jnp.pad(head_wq, ((0, pad_v), (0, 0)))
+        head_sw = jnp.pad(head_sw, (0, pad_v))
+    wq_chunks = head_wq.reshape(n_chunks, vocab_chunk, d)
+    sw_chunks = head_sw.reshape(n_chunks, vocab_chunk)
+
+    tt = h.shape[0]
+    init = (jnp.full((tt,), -jnp.inf, jnp.float32),
+            jnp.zeros((tt,), jnp.float32),
+            jnp.zeros((tt,), jnp.float32))
+
+    @jax.checkpoint
+    def body(carry, inp):
+        ci, wqc, swc = inp
+        m, se, tgt = carry
+        logits = _q8_chunk_logits(h, xq, sx, wqc, swc)          # (T, C)
+        if pad_v:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col + ci * vocab_chunk < v, logits, -jnp.inf)
+        cmax = jnp.max(logits, axis=-1)
+        new_m = jnp.maximum(m, cmax)
+        se = se * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(logits - new_m[:, None]), axis=-1)
+        local = tsafe - ci * vocab_chunk
+        in_chunk = (local >= 0) & (local < vocab_chunk)
+        picked = jnp.take_along_axis(
+            logits, jnp.clip(local, 0, vocab_chunk - 1)[:, None], axis=1)[:, 0]
+        tgt = jnp.where(in_chunk, picked, tgt)
+        return (new_m, se, tgt), None
+
+    (m, se, tgt), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks), wq_chunks, sw_chunks))
+
+    lse = m + jnp.log(se)
+    tok_loss = jnp.where(valid, lse - tgt, 0.0)
+    denom = jnp.maximum(valid.sum(), 1)
+    return tok_loss.sum() / denom

@@ -63,24 +63,15 @@ def resolve_frozen_quant(cfg: SMTConfig, mode: str,
 
 def resolve_head_quant(cfg: SMTConfig, model_cfg, frozen_quant: str) -> str:
     """head_quant="auto": int8 lm-head for the sparse-phase loss iff the
-    frozen base is int8 AND the training batch's fp32 logits fit the
-    dense-loss budget (the chunked loss path keeps the bf16 head — its
-    per-chunk matmul is fused with the online LSE). The estimate here uses
-    the full configured batch; actual buckets are never larger, so a run
-    resolved to dense stays dense for every bucket."""
+    frozen base is int8. Both loss paths consume it — the dense path runs
+    frozen_q8_linear on the full logits, the chunked path runs the
+    ops/loss.py chunked_causal_lm_loss_q8 int8-per-chunk online-LSE — so
+    the resolve no longer depends on the loss policy (model_cfg is kept
+    for signature stability)."""
+    del model_cfg
     if cfg.head_quant != "auto":
         return cfg.head_quant
-    if frozen_quant != "int8":
-        return "none"
-    from sparse_matrix_tuning_tpu.train.steps import _SPARSE_DENSE_LOSS_BUDGET
-    if cfg.loss_impl == "chunked":
-        return "none"
-    est_tokens = cfg.per_device_ft_batch_size * max(cfg.max_seq_len - 1, 1)
-    if (cfg.loss_impl == "auto"
-            and est_tokens * model_cfg.vocab_size * 4
-            > _SPARSE_DENSE_LOSS_BUDGET):
-        return "none"
-    return "int8"
+    return "int8" if frozen_quant == "int8" else "none"
 
 
 def build_q_head(params, model_cfg) -> Dict:
@@ -305,6 +296,14 @@ def offload_frozen_to_host(state: Dict,
         new_layers[li][mod] = jnp.zeros((1,), w.dtype)
     new_params = dict(state["params"])
     new_params["layers"] = new_layers
+    if "q_head" in state and "lm_head" in new_params:
+        # int8 head (head_quant): the untied bf16 lm_head is compute-dead
+        # too — both loss paths read q_head (tied models keep embed_tokens
+        # for the embedding lookup, so only the untied head moves)
+        w = new_params["lm_head"]
+        if keep_host:
+            host["lm_head"] = np.asarray(w)
+        new_params["lm_head"] = jnp.zeros((1,), w.dtype)
     new_state = dict(state)
     new_state["params"] = new_params
     return new_state, host

@@ -507,6 +507,10 @@ def build_scan_state_from_hf(cfg: SMTConfig, model_dir: str, plan: SMTPlan,
         build_q_head, resolve_head_quant)
     if resolve_head_quant(cfg, model_cfg, "int8") == "int8":
         state["q_head"] = build_q_head(params, model_cfg)
+        if "lm_head" in params:  # untied bf16 head: compute-dead, offload
+            if keep_host:
+                host["lm_head"] = np.asarray(params["lm_head"])
+            params["lm_head"] = jnp.zeros((1,), params["lm_head"].dtype)
     return state, (host if keep_host else None)
 
 
@@ -523,6 +527,13 @@ def offload_scan_frozen_to_host(state: Dict, keep_host: bool = True):
         stacked[mod] = jnp.zeros((w.shape[0], 1), w.dtype)
     params = dict(state["params"])
     params["layers_stacked"] = stacked
+    if "q_head" in state and "lm_head" in params:
+        # int8 head: the untied bf16 lm_head is compute-dead in both loss
+        # paths (convert.offload_frozen_to_host twin)
+        w = params["lm_head"]
+        if keep_host:
+            host["lm_head"] = np.asarray(w)
+        params["lm_head"] = jnp.zeros((1,), w.dtype)
     new_state = dict(state)
     new_state["params"] = params
     return new_state, host
@@ -576,6 +587,12 @@ def _scan_loss(state: Dict, batch: Dict, trainable, cfg: SMTConfig,
                          batch_tokens=b * (sq - 1)):
         hidden = forward_scan(state["params"], batch["input_ids"], model_cfg,
                               return_hidden=True, **kw)
+        if "q_head" in state:
+            from sparse_matrix_tuning_tpu.ops.loss import (
+                chunked_causal_lm_loss_q8)
+            return chunked_causal_lm_loss_q8(hidden, state["q_head"]["wq"],
+                                             state["q_head"]["sw"],
+                                             batch["labels"], cfg.vocab_chunk)
         return chunked_causal_lm_loss(hidden,
                                       lm_head_weight(state["params"], model_cfg),
                                       batch["labels"], cfg.vocab_chunk)
@@ -699,5 +716,7 @@ def merged_params_from_scan(state: Dict, plan: SMTPlan,
                     w4[rb[l, j], :, cb[l, j], :] = t[l, j].astype(w.dtype)
     params = {k: _host_global(v) for k, v in state["params"].items()
               if k != "layers_stacked"}
+    if host_frozen is not None and "lm_head" in host_frozen:
+        params["lm_head"] = host_frozen["lm_head"]  # offloaded untied head
     params["layers"] = layers
     return params

@@ -113,11 +113,11 @@ def compute_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
     (sparse-phase steps pass sparse=True to unlock the dense fast path).
 
     q_head: optional {"wq" int8 (V, D), "sw" fp32 (V,)} frozen int8
-    lm-head (train/convert.py build_q_head) — the DENSE loss path then
-    runs the head matmul on the MXU int8 path (frozen_q8_linear: int8
-    fwd + int8 grad_hidden, no weight grad — the head is frozen in the
-    sparse phase). The chunked path keeps the bf16 head: its per-chunk
-    matmul is fused with the online LSE, so q_head is ignored there."""
+    lm-head (train/convert.py build_q_head) — the head matmul then runs
+    on the MXU int8 path in BOTH loss forms (the head is frozen in the
+    sparse phase, so int8 fwd + straight-through int8 grad_hidden, no
+    weight grad): dense via frozen_q8_linear over the full logits,
+    chunked via chunked_causal_lm_loss_q8's int8-per-chunk online LSE."""
     from sparse_matrix_tuning_tpu.models.llama import default_linear
     linear = linear or default_linear
     kw = dict(attention_mask=batch.get("attention_mask"), linear=linear,
@@ -128,6 +128,12 @@ def compute_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
                          batch_tokens=b * (sq - 1)):
         hidden = forward(params, batch["input_ids"], model_cfg,
                          return_hidden=True, **kw)
+        if q_head is not None:
+            from sparse_matrix_tuning_tpu.ops.loss import (
+                chunked_causal_lm_loss_q8)
+            return chunked_causal_lm_loss_q8(hidden, q_head["wq"],
+                                             q_head["sw"], batch["labels"],
+                                             cfg.vocab_chunk)
         return chunked_causal_lm_loss(hidden, lm_head_weight(params, model_cfg),
                                       batch["labels"], cfg.vocab_chunk)
     if q_head is not None:

@@ -504,6 +504,9 @@ class SMTTrainer:
         params = jax.tree.map(np.asarray, self.state["params"])
         layers = {k: dict(v) for k, v in params["layers"].items()}
         for ks, w in self._host_frozen.items():
+            if ks == "lm_head":  # offloaded untied head (head_quant)
+                params["lm_head"] = w
+                continue
             li, mod = ks.split(".", 1)
             layers[li][mod] = w
         for ks, lp in self.plan.linears.items():

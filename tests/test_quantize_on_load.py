@@ -61,7 +61,12 @@ def test_state_matches_in_memory_builder(base_ckpt):
         np.testing.assert_allclose(np.asarray(got["base"][mod]),
                                    np.asarray(want["base"][mod]),
                                    rtol=1e-6, err_msg=mod)
-    assert set(host) == set(want["q"])
+    # host store: every quantized layer module + the offloaded untied
+    # bf16 lm_head (head_quant)
+    assert set(host) == set(want["q"]) | {"lm_head"}
+    np.testing.assert_array_equal(host["lm_head"],
+                                  np.asarray(params["lm_head"]))
+    assert got["params"]["lm_head"].shape == (1,)  # placeholder on device
 
 
 def test_sparse_scan_from_hf_trains_and_exports(base_ckpt):
