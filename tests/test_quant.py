@@ -289,3 +289,23 @@ def test_q8_correction_impls_agree(monkeypatch):
         np.testing.assert_allclose(outs[impl][1], ref[1], rtol=1e-5,
                                    atol=1e-5)
         np.testing.assert_array_equal(outs[impl][2], ref[2])
+
+
+def test_q8_mesh_matches_single_device():
+    """int8 + q_head numerics agree between a clean (1,4,2) mesh and a
+    single device (the (2,2,2) CPU-backend full-model miscompile is pinned
+    elsewhere — see CLAUDE.md; this guards the q8/q_head stack on the
+    shapes the suite certifies)."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.parallel.mesh import make_mesh
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    losses = {}
+    for name, mesh in (("single", None), ("mesh", make_mesh((1, 4, 2)))):
+        cfg = smt_cfg(frozen_quant="int8")
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        t = SMTTrainer(cfg, CFG, params, total_steps=6, mesh=mesh)
+        losses[name] = [float(t.train_step(b)["loss"])
+                        for b in make_batches(6, bsz=8)]
+        assert "q_head" in t.state or t._host_frozen is None
+    np.testing.assert_allclose(losses["mesh"], losses["single"], rtol=2e-3)
