@@ -50,16 +50,17 @@ def resolve_scan_layers(cfg: SMTConfig, model_cfg: LlamaConfig,
                         mode: str) -> bool:
     """"auto" enables the scan phase for deep models (where the unrolled
     compile time bites) in BOTH sparsity modes — matrix via smt_linear_dyn,
-    channel via smt_channel_linear_dyn; dropout and fp16-loss-scaling runs
-    stay unrolled (unsupported in the scan dispatch)."""
+    channel via smt_channel_linear_dyn; fp16 runs carry the DeepSpeed-
+    semantics dynamic loss scaler through the scan steps too; dropout runs
+    stay unrolled (unsupported in the scan dispatch; reference sparse
+    training is dropout-free by default)."""
     if cfg.scan_layers == "off":
         return False
-    supported = (mode in ("matrix", "channel") and cfg.dropout <= 0
-                 and cfg.dtype != "fp16")
+    supported = mode in ("matrix", "channel") and cfg.dropout <= 0
     if cfg.scan_layers == "on":
         if not supported:
             raise ValueError("scan_layers=on requires matrix or channel "
-                             "mode, dropout=0 and dtype != fp16")
+                             "mode and dropout=0")
         return True
     return supported and model_cfg.num_hidden_layers >= 12
 
@@ -107,6 +108,9 @@ def init_scan_warmup_state(params, cfg: SMTConfig,
         "count": jnp.zeros((), jnp.int32),
         "step": jnp.zeros((), jnp.int32),
     }
+    if cfg.dtype == "fp16":
+        state["loss_scale"] = jnp.asarray(cfg.init_loss_scale, jnp.float32)
+        state["good_steps"] = jnp.zeros((), jnp.int32)
     acc = {}
     for mod, w in master["layers_stacked"].items():
         if w.ndim != 3 or not _wants_saliency(cfg, mod):
@@ -136,15 +140,21 @@ def build_scan_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
                           weight_decay=cfg.w_decay, grad_clip=cfg.grad_clip)
     param_dtype = cfg.param_dtype
     lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
+    use_ls = cfg.dtype == "fp16"
 
     def step(state: Dict, batch: Dict) -> tuple:
         def loss_of(master, mb):
             params = _cast_tree(master, param_dtype)
-            return _warmup_scan_loss(params, mb, cfg, model_cfg)
+            raw = _warmup_scan_loss(params, mb, cfg, model_cfg)
+            return raw * state["loss_scale"] if use_ls else raw
 
         vag = accumulated_value_and_grad(loss_of, batch,
                                          cfg.gradient_accumulation_steps)
         loss, grads = vag(state["master"], batch)
+        if use_ls:
+            inv = 1.0 / state["loss_scale"]
+            loss = loss * inv
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32) * inv, grads)
 
         new_state = dict(state)
         acc = {}
@@ -164,6 +174,24 @@ def build_scan_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
                                           lr, adam_cfg, lr_scale=lr_scale,
                                           wd_mask=full_ft_wd_mask)
         metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr}
+        if use_ls:
+            from sparse_matrix_tuning_tpu.train.steps import (
+                _select_tree, update_loss_scale)
+            finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            new_master = _select_tree(finite, new_master, state["master"])
+            opt_state = {
+                "m": _select_tree(finite, opt_state["m"], state["m"]),
+                "v": _select_tree(finite, opt_state["v"], state["v"]),
+                "count": jnp.where(finite, opt_state["count"], state["count"]),
+            }
+            # saliency must not absorb inf/nan grads from a skipped step
+            new_state["acc"] = _select_tree(finite, new_state["acc"],
+                                            state["acc"])
+            scale, good = update_loss_scale(state["loss_scale"],
+                                            state["good_steps"], finite,
+                                            cfg.loss_scale_window)
+            new_state.update(loss_scale=scale, good_steps=good)
+            metrics.update(loss_scale=state["loss_scale"], overflow=~finite)
         new_state.update(master=new_master, m=opt_state["m"],
                          v=opt_state["v"], count=opt_state["count"],
                          step=state["step"] + 1)
@@ -350,6 +378,10 @@ def build_scan_sparse_state(cfg: SMTConfig, warmup_state: Dict,
         "count": jnp.zeros((), jnp.int32),
         "step": jnp.asarray(int(warmup_state["step"]), jnp.int32),
     }
+    if cfg.dtype == "fp16":
+        # fresh scaler for phase 2, like steps.init_sparse_state
+        state["loss_scale"] = jnp.asarray(cfg.init_loss_scale, jnp.float32)
+        state["good_steps"] = jnp.zeros((), jnp.int32)
     if use_q8:
         state["q"] = q
         from sparse_matrix_tuning_tpu.train.convert import (
@@ -622,15 +654,21 @@ def build_scan_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig,
                           weight_decay=cfg.w_decay, grad_clip=cfg.grad_clip)
     lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
     lowest_layer = min(lp.layer for lp in plan.linears.values())
+    use_ls = cfg.dtype == "fp16"  # DeepSpeed-semantics dynamic loss scaling
 
     def step(state: Dict, batch: Dict) -> tuple:
         def loss_of(trainable, mb):
-            return _scan_loss(state, mb, trainable, cfg, model_cfg,
-                              lowest_layer, plan.mode)
+            raw = _scan_loss(state, mb, trainable, cfg, model_cfg,
+                             lowest_layer, plan.mode)
+            return raw * state["loss_scale"] if use_ls else raw
 
         vag = accumulated_value_and_grad(loss_of, batch,
                                          cfg.gradient_accumulation_steps)
         loss, grads = vag(state["trainable"], batch)
+        if use_ls:
+            inv = 1.0 / state["loss_scale"]
+            loss = loss * inv
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32) * inv, grads)
         # zero the padded duplicates' garbage grads before the global norm;
         # matrix grads are (L, n, 256, 256), channel grads (L, O, n)
         if plan.mode == "channel":
@@ -647,6 +685,22 @@ def build_scan_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig,
                                              adam_cfg, lr_scale=lr_scale)
         metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr}
         new_state = dict(state)
+        if use_ls:
+            from sparse_matrix_tuning_tpu.train.steps import (
+                _select_tree, update_loss_scale)
+            finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            new_trainable = _select_tree(finite, new_trainable,
+                                         state["trainable"])
+            opt_state = {
+                "m": _select_tree(finite, opt_state["m"], state["m"]),
+                "v": _select_tree(finite, opt_state["v"], state["v"]),
+                "count": jnp.where(finite, opt_state["count"], state["count"]),
+            }
+            scale, good = update_loss_scale(state["loss_scale"],
+                                            state["good_steps"], finite,
+                                            cfg.loss_scale_window)
+            new_state.update(loss_scale=scale, good_steps=good)
+            metrics.update(loss_scale=state["loss_scale"], overflow=~finite)
         new_state.update(trainable=new_trainable, m=opt_state["m"],
                          v=opt_state["v"], count=opt_state["count"],
                          step=state["step"] + 1)

@@ -63,3 +63,44 @@ def test_fp16_two_phase_training():
     assert "loss_scale" in trainer.state  # fresh phase-2 scaler
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_fp16_scan_matches_unrolled():
+    """fp16 dynamic loss scaling now runs in the scan phases too: scan and
+    unrolled fp16 two-phase runs agree (fp16 forward -> looser tolerance),
+    and the phase-2 scaler leaf exists in the scan state."""
+    losses = {}
+    for scan in ("on", "off"):
+        cfg = smt_cfg(dtype="fp16", ft_learning_rate=1e-3, smt_lr=1e-2,
+                      scan_layers=scan)
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        t = SMTTrainer(cfg, CFG, params, total_steps=8)
+        losses[scan] = [float(t.train_step(b)["loss"])
+                        for b in make_batches(8, bsz=8)]
+        assert "loss_scale" in t.state
+        assert np.isfinite(losses[scan]).all()
+    np.testing.assert_allclose(losses["on"][:2], losses["off"][:2], rtol=1e-3)
+    np.testing.assert_allclose(losses["on"][2:], losses["off"][2:], rtol=3e-2)
+
+
+def test_fp16_scan_sparse_overflow_skipped():
+    """A forced overflow in the SCAN sparse phase skips the update and
+    halves the scale (same semantics as the unrolled step)."""
+    cfg = smt_cfg(dtype="fp16", scan_layers="on")
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    t = SMTTrainer(cfg, CFG, params, total_steps=8)
+    for b in make_batches(3, bsz=8):
+        t.train_step(b)
+    assert t.phase == "sparse" and t._scan
+    state = dict(t.state)
+    state["loss_scale"] = jnp.asarray(3.0e38, jnp.float32)
+    before = {k: np.asarray(v) for k, v in state["trainable"].items()}
+    scale_before = float(state["loss_scale"])
+    count_before = int(state["count"])  # the jitted step donates `state`
+    new_state, m = t._sparse_step(state, make_batches(1, bsz=8)[0])
+    assert bool(m["overflow"])
+    for k in before:
+        np.testing.assert_array_equal(np.asarray(new_state["trainable"][k]),
+                                      before[k])
+    assert float(new_state["loss_scale"]) == float(np.float32(scale_before) * 0.5)
+    assert int(new_state["count"]) == count_before

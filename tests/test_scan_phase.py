@@ -117,6 +117,8 @@ def test_scan_auto_resolution():
     assert not resolve_scan_layers(smt_cfg(), CFG, "matrix")  # 2 layers
     assert resolve_scan_layers(smt_cfg(), deep, "channel")  # since r3
     assert not resolve_scan_layers(smt_cfg(scan_layers="off"), deep, "matrix")
+    # fp16 supported since the scan loss-scaler landed; dropout stays out
+    assert resolve_scan_layers(smt_cfg(dtype="fp16"), deep, "matrix")
     with pytest.raises(ValueError):
-        resolve_scan_layers(smt_cfg(scan_layers="on", dtype="fp16"), deep,
+        resolve_scan_layers(smt_cfg(scan_layers="on", dropout=0.1), deep,
                             "matrix")
