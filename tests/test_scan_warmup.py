@@ -95,3 +95,32 @@ def test_scan_warmup_resolution():
         smt_cfg(saliency_accumulation="per_step_stats",
                 matrix_sparsity=False, channel_sparsity=True,
                 num_attention_channel=4, num_mlp_channel=4), deep)
+
+
+def test_scan_warmup_fp16_matches_unrolled():
+    """fp16 dynamic loss scaling through the SCAN warm-up (and the scan
+    sparse phase it converts into) tracks the unrolled fp16 run; the
+    scaler leaves exist in both phases' scan states."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    losses = {}
+    for scan in ("on", "off"):
+        cfg = smt_cfg(scan_layers=scan,
+                      saliency_accumulation="per_step_stats",
+                      full_ft_steps=3, dtype="fp16",
+                      ft_learning_rate=1e-3, smt_lr=1e-2)
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        t = SMTTrainer(cfg, CFG, params, total_steps=8)
+        seen_scaler_in_warmup = False
+        for b in make_batches(8, bsz=8):
+            if t.phase == "warmup":
+                seen_scaler_in_warmup = "loss_scale" in t.state
+            t.train_step(b)
+        losses[scan] = t
+        assert seen_scaler_in_warmup
+        assert t.phase == "sparse" and "loss_scale" in t.state
+        if scan == "on":
+            assert t._scan_warmup and t._scan
+    assert (losses["on"].plan.fingerprint()
+            == losses["off"].plan.fingerprint())
