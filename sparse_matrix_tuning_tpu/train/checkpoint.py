@@ -115,6 +115,10 @@ def restore_checkpoint(path: str, trainer) -> None:
         if saved is not None:
             from sparse_matrix_tuning_tpu.train.convert import (
                 resolve_frozen_quant, resolve_head_quant)
+            # checkpoints written before head_quant existed have no q_head
+            # leaf: treat the missing key as "none" so a resolution change
+            # fails with the actionable guard, not an orbax mismatch
+            saved.setdefault("head_quant", "none")
             now_fq = resolve_frozen_quant(trainer.cfg, plan.mode, scan=scan)
             now = {"scan": scan,
                    "host_offload": host_frozen is not None,
@@ -159,14 +163,14 @@ def restore_checkpoint(path: str, trainer) -> None:
             template = init_sparse_state(params, trainable, step=0)
             # NB: frozen_quant="auto" resolves by platform, so a checkpoint
             # must be restored on the same backend class it was written on
-            if resolve_frozen_quant(trainer.cfg, plan.mode) == "int8":
+            fq_now = resolve_frozen_quant(trainer.cfg, plan.mode)
+            if fq_now == "int8":
                 template["q"] = build_qweights(master["layers"], plan)
-                from sparse_matrix_tuning_tpu.train.convert import (
-                    build_q_head, resolve_head_quant)
-                if resolve_head_quant(trainer.cfg, trainer.model_cfg,
-                                      "int8") == "int8":
-                    template["q_head"] = build_q_head(master,
-                                                      trainer.model_cfg)
+            from sparse_matrix_tuning_tpu.train.convert import (
+                build_q_head, resolve_head_quant)
+            if resolve_head_quant(trainer.cfg, trainer.model_cfg,
+                                  fq_now) == "int8":
+                template["q_head"] = build_q_head(master, trainer.model_cfg)
             if host_frozen is not None:
                 # the checkpoint was written with the dense weights on host
                 # — match its placeholder structure (values come from the

@@ -252,9 +252,11 @@ def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes,
         # quantize from the fp32 master (best rounding); wq/sw/base are
         # frozen constants that ride along in the state pytree
         state["q"] = build_qweights(master["layers"], plan)
-        if (model_cfg is not None
-                and resolve_head_quant(cfg, model_cfg, fq) == "int8"):
-            state["q_head"] = build_q_head(master, model_cfg)
+    # NOT nested under fq == "int8": an explicit --head_quant int8 works
+    # over a bf16 frozen base too (the head path is independent)
+    if (model_cfg is not None
+            and resolve_head_quant(cfg, model_cfg, fq) == "int8"):
+        state["q_head"] = build_q_head(master, model_cfg)
     return plan, state
 
 
@@ -269,6 +271,22 @@ def frozen_offload_active(cfg: SMTConfig, mode: str, mesh,
     return (cfg.frozen_host_offload
             and resolve_frozen_quant(cfg, mode, scan=scan) == "int8"
             and mesh is None and jax.process_count() == 1)
+
+
+def offload_lm_head(params: Dict, host: Dict, keep_host: bool) -> Dict:
+    """Move the compute-dead untied bf16 lm_head into `host` under the
+    key "lm_head", returning a params dict with a 1-element placeholder.
+    Only meaningful with an int8 head (q_head carries the compute); no-op
+    for tied models (embed_tokens must stay for the embedding lookup) or
+    when already offloaded. Consumers of the host key:
+    trainer._merged_from_host and scan_phase.merged_params_from_scan."""
+    if getattr(params.get("lm_head"), "ndim", 0) != 2:
+        return params
+    params = dict(params)
+    if keep_host:
+        host["lm_head"] = np.asarray(params["lm_head"])
+    params["lm_head"] = jnp.zeros((1,), params["lm_head"].dtype)
+    return params
 
 
 def offload_frozen_to_host(state: Dict,
@@ -296,14 +314,10 @@ def offload_frozen_to_host(state: Dict,
         new_layers[li][mod] = jnp.zeros((1,), w.dtype)
     new_params = dict(state["params"])
     new_params["layers"] = new_layers
-    if "q_head" in state and "lm_head" in new_params:
+    if "q_head" in state:
         # int8 head (head_quant): the untied bf16 lm_head is compute-dead
-        # too — both loss paths read q_head (tied models keep embed_tokens
-        # for the embedding lookup, so only the untied head moves)
-        w = new_params["lm_head"]
-        if keep_host:
-            host["lm_head"] = np.asarray(w)
-        new_params["lm_head"] = jnp.zeros((1,), w.dtype)
+        # too — both loss paths read q_head
+        new_params = offload_lm_head(new_params, host, keep_host)
     new_state = dict(state)
     new_state["params"] = new_params
     return new_state, host

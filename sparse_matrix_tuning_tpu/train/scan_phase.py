@@ -384,10 +384,11 @@ def build_scan_sparse_state(cfg: SMTConfig, warmup_state: Dict,
         state["good_steps"] = jnp.zeros((), jnp.int32)
     if use_q8:
         state["q"] = q
-        from sparse_matrix_tuning_tpu.train.convert import (
-            build_q_head, resolve_head_quant)
-        if resolve_head_quant(cfg, model_cfg, "int8") == "int8":
-            state["q_head"] = build_q_head(master, model_cfg)
+    from sparse_matrix_tuning_tpu.train.convert import (
+        build_q_head, resolve_head_quant)
+    if resolve_head_quant(cfg, model_cfg,
+                          "int8" if use_q8 else "none") == "int8":
+        state["q_head"] = build_q_head(master, model_cfg)
     return state
 
 
@@ -536,13 +537,10 @@ def build_scan_state_from_hf(cfg: SMTConfig, model_dir: str, plan: SMTPlan,
         "q": q,
     }
     from sparse_matrix_tuning_tpu.train.convert import (
-        build_q_head, resolve_head_quant)
+        build_q_head, offload_lm_head, resolve_head_quant)
     if resolve_head_quant(cfg, model_cfg, "int8") == "int8":
         state["q_head"] = build_q_head(params, model_cfg)
-        if "lm_head" in params:  # untied bf16 head: compute-dead, offload
-            if keep_host:
-                host["lm_head"] = np.asarray(params["lm_head"])
-            params["lm_head"] = jnp.zeros((1,), params["lm_head"].dtype)
+        state["params"] = offload_lm_head(params, host, keep_host)
     return state, (host if keep_host else None)
 
 
@@ -559,13 +557,11 @@ def offload_scan_frozen_to_host(state: Dict, keep_host: bool = True):
         stacked[mod] = jnp.zeros((w.shape[0], 1), w.dtype)
     params = dict(state["params"])
     params["layers_stacked"] = stacked
-    if "q_head" in state and "lm_head" in params:
+    if "q_head" in state:
         # int8 head: the untied bf16 lm_head is compute-dead in both loss
         # paths (convert.offload_frozen_to_host twin)
-        w = params["lm_head"]
-        if keep_host:
-            host["lm_head"] = np.asarray(w)
-        params["lm_head"] = jnp.zeros((1,), w.dtype)
+        from sparse_matrix_tuning_tpu.train.convert import offload_lm_head
+        params = offload_lm_head(params, host, keep_host)
     new_state = dict(state)
     new_state["params"] = params
     return new_state, host

@@ -18,7 +18,7 @@ from test_train_e2e import CFG, make_batches, run_training, smt_cfg
 
 
 def test_resolve_head_quant_gating():
-    """auto: int8 iff the frozen base is int8 AND the loss resolves dense."""
+    """auto: int8 iff the frozen base is int8; explicit values always win."""
     from sparse_matrix_tuning_tpu.train.convert import resolve_head_quant
 
     cfg = smt_cfg()
@@ -182,3 +182,57 @@ def test_scan_chunked_q8_head_matches_unrolled():
         assert "q_head" in t.state
     np.testing.assert_allclose(losses["on"][:2], losses["off"][:2], rtol=1e-6)
     np.testing.assert_allclose(losses["on"][2:], losses["off"][2:], rtol=2e-2)
+
+
+def test_q8_head_over_bf16_base():
+    """Explicit --head_quant int8 works over a bf16 frozen base (the head
+    path is independent of frozen_quant), and the checkpoint guard is
+    consistent: a same-flags restore round-trips."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    cfg_kw = dict(frozen_quant="none", head_quant="int8")
+    t, l = run_training(smt_cfg(**cfg_kw))
+    assert t.phase == "sparse"
+    assert "q_head" in t.state and "q" not in t.state
+    assert np.all(np.isfinite(l)) and l[-1] < l[2]
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, t)
+        t2 = SMTTrainer(smt_cfg(**cfg_kw), CFG,
+                        init_params(jax.random.PRNGKey(1), CFG),
+                        total_steps=8)
+        restore_checkpoint(d, t2)
+        assert "q_head" in t2.state and "q" not in t2.state
+
+
+def test_pre_head_quant_checkpoint_restores():
+    """A checkpoint whose meta predates head_quant (no key in resolved)
+    restores cleanly with --head_quant none, and fails with the actionable
+    guard (not an orbax structure error) when the resolution differs."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    t1, _ = run_training(smt_cfg(frozen_quant="int8", head_quant="none"),
+                         n_steps=4)
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, t1)
+        meta_path = os.path.join(d, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        del meta["resolved"]["head_quant"]  # simulate the old format
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
+        ok = SMTTrainer(smt_cfg(frozen_quant="int8", head_quant="none"), CFG,
+                        init_params(jax.random.PRNGKey(0), CFG), total_steps=8)
+        restore_checkpoint(d, ok)
+        assert "q_head" not in ok.state
+
+        bad = SMTTrainer(smt_cfg(frozen_quant="int8", head_quant="int8"), CFG,
+                         init_params(jax.random.PRNGKey(0), CFG), total_steps=8)
+        with pytest.raises(ValueError, match="head_quant"):
+            restore_checkpoint(d, bad)

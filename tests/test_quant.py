@@ -307,5 +307,7 @@ def test_q8_mesh_matches_single_device():
         t = SMTTrainer(cfg, CFG, params, total_steps=6, mesh=mesh)
         losses[name] = [float(t.train_step(b)["loss"])
                         for b in make_batches(6, bsz=8)]
-        assert "q_head" in t.state or t._host_frozen is None
+        # both legs must actually run the int8 head (a policy miss here
+        # would silently compare different objectives)
+        assert "q_head" in t.state
     np.testing.assert_allclose(losses["mesh"], losses["single"], rtol=2e-3)
