@@ -8,8 +8,14 @@ logits live only in registers/VMEM-scale working set, and jax.checkpoint
 on the chunk body keeps backward memory flat (grad_hidden accumulates
 (softmax_chunk - onehot_chunk) @ head_chunk per chunk).
 
-Numerically identical (fp32) to the plain shifted CE in models/llama.py —
-see tests/test_loss.py.
+Two heads share one online-LSE core (`_chunked_lse_loss`):
+  * chunked_causal_lm_loss    — exact bf16/fp32 head matmul
+  * chunked_causal_lm_loss_q8 — int8 frozen head (head_quant): hidden is
+    row-quantized ONCE, each chunk runs an int8 dot_general with a
+    straight-through custom_vjp for grad_hidden
+
+The exact form is numerically identical (fp32) to the plain shifted CE in
+models/llama.py — see tests/test_loss.py.
 """
 
 from __future__ import annotations
@@ -22,37 +28,31 @@ import jax.numpy as jnp
 IGNORE_INDEX = -100
 
 
-@partial(jax.jit, static_argnums=(3,))
-def chunked_causal_lm_loss(hidden: jax.Array, head: jax.Array,
-                           labels: jax.Array, vocab_chunk: int = 4096):
-    """hidden: (B, S, D) final decoder states (pre-head); head: (V, D);
-    labels: (B, S) with -100 ignore. Shifted CE, mean over valid tokens."""
-    b, s, d = hidden.shape
-    v = head.shape[0]
-    h = hidden[:, :-1, :].reshape(-1, d)           # (T, D)
-    t = labels[:, 1:].reshape(-1)                  # (T,)
+def _chunked_lse_loss(hidden, labels, v: int, vocab_chunk: int,
+                      chunk_logits, chunk_arrays):
+    """Shared online-LSE core. chunk_logits(h2, *per_chunk) -> (T, C) fp32
+    logits for one vocab chunk; chunk_arrays: tuple of arrays with leading
+    dim (n_chunks,) scanned alongside the chunk index (pre-padded to the
+    chunk multiple by the caller). h2 is the flattened (T, D) hidden slice
+    the caller provides (dtype chosen by the head impl)."""
+    h2, labels = hidden, labels
+    t = labels.reshape(-1)
     valid = t != IGNORE_INDEX
     tsafe = jnp.where(valid, t, 0)
 
     pad_v = (-v) % vocab_chunk
     n_chunks = (v + pad_v) // vocab_chunk
 
-    if pad_v:
-        head = jnp.pad(head, ((0, pad_v), (0, 0)))
-    head_chunks = head.reshape(n_chunks, vocab_chunk, d)
-
-    tt = h.shape[0]
+    tt = h2.shape[0]
     init = (jnp.full((tt,), -jnp.inf, jnp.float32),   # running max
             jnp.zeros((tt,), jnp.float32),             # running sum exp
             jnp.zeros((tt,), jnp.float32))             # target logit
 
     @jax.checkpoint
     def body(carry, inp):
-        ci, hc = inp
+        ci, per_chunk = inp
         m, se, tgt = carry
-        logits = jax.lax.dot_general(
-            h, hc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (T, C)
+        logits = chunk_logits(h2, *per_chunk)          # (T, C) fp32
         if pad_v:
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col + ci * vocab_chunk < v, logits, -jnp.inf)
@@ -69,12 +69,35 @@ def chunked_causal_lm_loss(hidden: jax.Array, head: jax.Array,
         return (new_m, se, tgt), None
 
     (m, se, tgt), _ = jax.lax.scan(
-        body, init, (jnp.arange(n_chunks), head_chunks))
+        body, init, (jnp.arange(n_chunks), chunk_arrays))
 
     lse = m + jnp.log(se)
     tok_loss = jnp.where(valid, lse - tgt, 0.0)
     denom = jnp.maximum(valid.sum(), 1)
     return tok_loss.sum() / denom
+
+
+@partial(jax.jit, static_argnums=(3,))
+def chunked_causal_lm_loss(hidden: jax.Array, head: jax.Array,
+                           labels: jax.Array, vocab_chunk: int = 4096):
+    """hidden: (B, S, D) final decoder states (pre-head); head: (V, D);
+    labels: (B, S) with -100 ignore. Shifted CE, mean over valid tokens."""
+    b, s, d = hidden.shape
+    v = head.shape[0]
+    h = hidden[:, :-1, :].reshape(-1, d)               # (T, D)
+
+    pad_v = (-v) % vocab_chunk
+    if pad_v:
+        head = jnp.pad(head, ((0, pad_v), (0, 0)))
+    head_chunks = head.reshape(-1, vocab_chunk, d)
+
+    def chunk_logits(h2, hc):
+        return jax.lax.dot_general(
+            h2, hc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (T, C)
+
+    return _chunked_lse_loss(h, labels[:, 1:], v, vocab_chunk,
+                             chunk_logits, (head_chunks,))
 
 
 # ---------------------------------------------------------------------------
@@ -124,48 +147,17 @@ def chunked_causal_lm_loss_q8(hidden: jax.Array, head_wq: jax.Array,
     b, s, d = hidden.shape
     v = head_wq.shape[0]
     h = hidden[:, :-1, :].reshape(-1, d).astype(jnp.float32)   # (T, D)
-    t = labels[:, 1:].reshape(-1)                              # (T,)
-    valid = t != IGNORE_INDEX
-    tsafe = jnp.where(valid, t, 0)
-
     xq, sx = row_quant(jax.lax.stop_gradient(h))
 
     pad_v = (-v) % vocab_chunk
-    n_chunks = (v + pad_v) // vocab_chunk
     if pad_v:
         head_wq = jnp.pad(head_wq, ((0, pad_v), (0, 0)))
         head_sw = jnp.pad(head_sw, (0, pad_v))
-    wq_chunks = head_wq.reshape(n_chunks, vocab_chunk, d)
-    sw_chunks = head_sw.reshape(n_chunks, vocab_chunk)
+    wq_chunks = head_wq.reshape(-1, vocab_chunk, d)
+    sw_chunks = head_sw.reshape(-1, vocab_chunk)
 
-    tt = h.shape[0]
-    init = (jnp.full((tt,), -jnp.inf, jnp.float32),
-            jnp.zeros((tt,), jnp.float32),
-            jnp.zeros((tt,), jnp.float32))
+    def chunk_logits(h2, wqc, swc):
+        return _q8_chunk_logits(h2, xq, sx, wqc, swc)
 
-    @jax.checkpoint
-    def body(carry, inp):
-        ci, wqc, swc = inp
-        m, se, tgt = carry
-        logits = _q8_chunk_logits(h, xq, sx, wqc, swc)          # (T, C)
-        if pad_v:
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col + ci * vocab_chunk < v, logits, -jnp.inf)
-        cmax = jnp.max(logits, axis=-1)
-        new_m = jnp.maximum(m, cmax)
-        se = se * jnp.exp(m - new_m) + jnp.sum(
-            jnp.exp(logits - new_m[:, None]), axis=-1)
-        local = tsafe - ci * vocab_chunk
-        in_chunk = (local >= 0) & (local < vocab_chunk)
-        picked = jnp.take_along_axis(
-            logits, jnp.clip(local, 0, vocab_chunk - 1)[:, None], axis=1)[:, 0]
-        tgt = jnp.where(in_chunk, picked, tgt)
-        return (new_m, se, tgt), None
-
-    (m, se, tgt), _ = jax.lax.scan(
-        body, init, (jnp.arange(n_chunks), wq_chunks, sw_chunks))
-
-    lse = m + jnp.log(se)
-    tok_loss = jnp.where(valid, lse - tgt, 0.0)
-    denom = jnp.maximum(valid.sum(), 1)
-    return tok_loss.sum() / denom
+    return _chunked_lse_loss(h, labels[:, 1:], v, vocab_chunk,
+                             chunk_logits, (wq_chunks, sw_chunks))
