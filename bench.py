@@ -394,17 +394,29 @@ def main():
         print("PHASE_RESULT " + json.dumps(run_phase(phase, small)))
         return
 
-    def child(phase, timeout=1200):
+    def child(phase, timeout=1200, retries=2):
         args = [sys.executable, __file__, "--phase", phase]
         if small:
             args.append("--small")
-        out = subprocess.run(args, capture_output=True, text=True,
-                             timeout=timeout)
-        for line in out.stdout.splitlines():
-            if line.startswith("PHASE_RESULT "):
-                return json.loads(line[len("PHASE_RESULT "):])
-        raise RuntimeError(f"phase {phase} failed:\n{out.stdout[-2000:]}\n"
-                           f"{out.stderr[-4000:]}")
+        last = ""
+        for attempt in range(retries + 1):
+            if attempt:
+                # the axon tunnel flaps occasionally (backend init
+                # UNAVAILABLE / hang): give it time to come back rather
+                # than losing the whole artifact to one transient outage
+                time.sleep(180)
+            try:
+                out = subprocess.run(args, capture_output=True, text=True,
+                                     timeout=timeout)
+            except subprocess.TimeoutExpired:
+                last = f"timeout after {timeout}s"
+                continue
+            for line in out.stdout.splitlines():
+                if line.startswith("PHASE_RESULT "):
+                    return json.loads(line[len("PHASE_RESULT "):])
+            last = f"{out.stdout[-2000:]}\n{out.stderr[-4000:]}"
+        raise RuntimeError(f"phase {phase} failed after {retries + 1} "
+                           f"attempts:\n{last}")
 
     full = child("full")
     smt = child("smt")
