@@ -283,6 +283,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["none", "int8", "auto"])
     p.add_argument("--scan_layers", type=str, default=d.scan_layers,
                    choices=["off", "on", "auto"])
+    p.add_argument("--loss_impl", type=str, default=d.loss_impl,
+                   choices=["full", "chunked", "auto"])
+    p.add_argument("--vocab_chunk", type=int, default=d.vocab_chunk)
     p.add_argument("--sparse_from_plan", type=str, default=None)
     p.add_argument("--mesh_shape", type=int, nargs="*", default=None,
                    help="data fsdp tensor mesh dims; default = all devices on fsdp")

@@ -162,3 +162,26 @@ def test_fine_tune_cli_sparse_from_plan(tiny_hf_dir, tiny_data, tmp_path):
     assert np.isfinite(history["train_loss"]).all()
     assert np.isfinite(history["eval_loss"]).all()
     assert (out / "final" / "model.safetensors").exists()
+
+
+def test_arg_parser_policy_knobs():
+    """The TPU policy knobs parse with their documented choices and land
+    in SMTConfig; bad values are rejected by argparse."""
+    import pytest
+    from sparse_matrix_tuning_tpu.config import SMTConfig, build_arg_parser
+
+    from sparse_matrix_tuning_tpu.config import parse_args
+    p = build_arg_parser()
+    cfg = parse_args([
+        "--model_name_or_path", "m", "--data_path", "d.json",
+        "--matrix_sparsity",
+        "--frozen_quant", "int8", "--head_quant", "int8",
+        "--scan_layers", "on", "--attn_impl", "einsum",
+        "--loss_impl", "chunked", "--no_frozen_host_offload",
+    ])
+    assert cfg.frozen_quant == "int8" and cfg.head_quant == "int8"
+    assert cfg.scan_layers == "on" and cfg.attn_impl == "einsum"
+    assert cfg.loss_impl == "chunked" and not cfg.frozen_host_offload
+    with pytest.raises(SystemExit):
+        p.parse_args(["--model_name_or_path", "m", "--data_path", "d.json",
+                      "--head_quant", "fp4"])
