@@ -142,3 +142,40 @@ def prepare_decode_params(params, model_cfg: LlamaConfig):
     if "layers_stacked" in params:
         return params
     return stack_layers(params, model_cfg)
+
+
+def decode_params_from_scan(state, model_cfg: LlamaConfig,
+                            host_frozen=None):
+    """Decode params straight from the int8 scan TRAINING state — no bf16
+    dense materialization. The frozen base stays int8 on device and the
+    selected blocks/columns get their exact trained values through the same
+    delta corrections the training forward used, so prefill logits equal
+    the training-eval forward's logits. This closes the loop the reference
+    cannot: its eval reloads an fp16 export (run_commonsense_parallel.py:
+    124-141); here an 8B model trained on one 16G chip is also *evaluated*
+    on it (bf16 dense weights would need ~16G alone).
+
+    state: scan trainer state with "q" (int8 frozen base), "trainable",
+    "base", "idx" (see train/scan_phase.py). host_frozen: the trainer's
+    host-offload dict; required to restore an offloaded untied lm_head
+    (decode keeps the exact bf16 head, like exports — q_head is a
+    training-only artifact)."""
+    if "q" not in state:
+        raise ValueError("decode_params_from_scan needs an int8 scan state "
+                         "(state['q'] missing — frozen_quant=none trainers "
+                         "decode from merged_params instead)")
+    p = dict(state["params"])
+    if not model_cfg.tie_word_embeddings:
+        head = p.get("lm_head")
+        if head is None or head.ndim != 2:
+            if host_frozen is None or "lm_head" not in host_frozen:
+                raise ValueError(
+                    "untied lm_head was host-offloaded; pass host_frozen "
+                    "(trainer._host_frozen) so the exact bf16 head can be "
+                    "restored for decoding")
+            p["lm_head"] = jnp.asarray(host_frozen["lm_head"])
+    p["layers_q8"] = {"q": state["q"],
+                      "t": state.get("trainable", {}),
+                      "idx": state.get("idx", {}),
+                      "base": state.get("base", {})}
+    return p

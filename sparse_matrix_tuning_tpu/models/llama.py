@@ -603,7 +603,37 @@ def forward_with_cache(params: Mapping[str, Any], input_ids: jax.Array,
     keep = causal[None] & (slot_mask[:, None, :] > 0)
     mask_bias = jnp.where(keep, 0.0, jnp.finfo(jnp.float32).min)  # (B, S_new, max_len)
 
-    if "layers_stacked" in params:
+    if "layers_q8" in params:
+        # int8 scan decode: generation straight from the scan training
+        # state — the frozen base stays int8 on device (the dense bf16
+        # weights may never have existed on this chip, see host offload /
+        # quantize-on-load) and the selected blocks/columns see their exact
+        # trained values via the same delta corrections the training
+        # forward used (ops/sparse_linear.smt_linear_dyn). This is what
+        # lets an 8B model TRAINED on one 16G chip also run its generation
+        # eval there. Corrections use the sequential XLA chain ("oracle"):
+        # decode rows (B or B*beams) are far below the Pallas kernels' tile
+        # sizes.
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            make_scan_dispatch)
+        ex_tree = params["layers_q8"]
+        idx = ex_tree.get("idx", {})
+        mode = ("channel" if any("ci" in m for m in idx.values())
+                else "matrix")
+        lin_scan = make_scan_dispatch("oracle", mode)
+
+        def body(x, scanned):
+            lp, ex, ck_old, cv_old = scanned
+            lin = lambda xx, w, module, li: lin_scan(xx, w, module, ex)
+            x, ck, cv = _cached_layer(lp, x, ck_old, cv_old, cache_index,
+                                      mask_bias, cos, sin, cfg, lin, 0)
+            return x, (ck, cv)
+
+        x, (nk, nv) = jax.lax.scan(
+            body, x,
+            (params["layers_stacked"], ex_tree, cache["k"], cache["v"]))
+        new_cache = {"k": nk, "v": nv}
+    elif "layers_stacked" in params:
         assert linear is default_linear, \
             "scan-over-layers decode supports dense linears only"
 

@@ -499,6 +499,20 @@ class SMTTrainer:
             return out
         return jax.tree.map(lambda p: p.astype(self.cfg.param_dtype), master)
 
+    def decode_params(self):
+        """Params for eval/generate.generate. Scan+int8 trainers decode
+        straight from the int8 training state — no bf16 dense
+        materialization, which is what lets a model whose dense weights
+        exceed the chip (the 8B-on-16G regime) run its generation eval in
+        place (eval/generate.decode_params_from_scan). Everything else
+        decodes from the exact merged dense params."""
+        from sparse_matrix_tuning_tpu.eval.generate import (
+            decode_params_from_scan, prepare_decode_params)
+        if self.phase == "sparse" and self._scan and "q" in self.state:
+            return decode_params_from_scan(self.state, self.model_cfg,
+                                           self._host_frozen)
+        return prepare_decode_params(self.merged_params(), self.model_cfg)
+
     def _merged_from_host(self):
         from sparse_matrix_tuning_tpu.smt.plan import BLOCK
         params = jax.tree.map(np.asarray, self.state["params"])
