@@ -38,6 +38,13 @@ def build_parser():
     p.add_argument("--max_seq_len", type=int, default=8192)
     p.add_argument("--dtype", type=str, default="bf16",
                    choices=["bf16", "fp32"])
+    p.add_argument("--frozen_quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8: quantize-on-load the checkpoint and decode "
+                        "through the int8 scan path — an 8B checkpoint "
+                        "evaluates on one 16G chip (and decodes ~1.6x "
+                        "faster, tools/decode_q8_probe.py); none (default) "
+                        "keeps the exact bf16 forward")
     p.add_argument("--seed", type=int, default=1234)
     return p
 
@@ -58,7 +65,30 @@ def main(argv=None):
     set_random_seed(args.seed)
     model_cfg = load_hf_config(args.model_name_or_path)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    params = load_hf_params(args.model_name_or_path, model_cfg, dtype=dtype)
+    if args.frozen_quant == "int8":
+        # quantize-on-load + int8 scan decode: the checkpoint streams to
+        # device one tensor at a time and decodes through the layers_q8
+        # branch — bf16 dense weights never materialise on the chip, so a
+        # checkpoint whose dense form exceeds HBM (8B on 16G) still
+        # evaluates. Exact bf16 embeddings/lm_head; frozen base int8 (the
+        # quality-parity evidence is PARITY.md D17/D20 + the q8-decode leg
+        # of tools/synthetic_eval_tpu.py).
+        from sparse_matrix_tuning_tpu.config import SMTConfig
+        from sparse_matrix_tuning_tpu.eval.generate import (
+            decode_params_from_scan)
+        from sparse_matrix_tuning_tpu.smt.plan import SMTPlan
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            build_scan_state_from_hf)
+        qcfg = SMTConfig(model_name_or_path=args.model_name_or_path,
+                         dtype=args.dtype, frozen_quant="int8",
+                         head_quant="none")  # decode keeps the exact head
+        state, _ = build_scan_state_from_hf(
+            qcfg, args.model_name_or_path,
+            SMTPlan(mode="matrix", linears={}), model_cfg, keep_host=False)
+        params = decode_params_from_scan(state, model_cfg)
+    else:
+        params = load_hf_params(args.model_name_or_path, model_cfg,
+                                dtype=dtype)
     # reference tokenizer setup for eval (:228-235): left padding, long cap
     tokenizer = load_hf_tokenizer(args.model_name_or_path, args.max_seq_len)
     tokenizer.padding_side = "left"

@@ -415,7 +415,8 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
                  remat: bool = False,
                  stop_grad_below_layer: Optional[int] = None,
                  attn_impl: str = "einsum",
-                 return_hidden: bool = False) -> jax.Array:
+                 return_hidden: bool = False,
+                 dropout_rng: Optional[jax.Array] = None) -> jax.Array:
     """forward() with the layer loop as ONE lax.scan over stacked layer
     params — the training-side sibling of the scan decode path
     (forward_with_cache stacked=True). Compile time becomes depth-
@@ -428,8 +429,11 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
     sliced per scan step and handed to `linear_scan(x, w, module, ex)` —
     the scan-side sparse dispatch (per-layer trainable blocks / coords /
     int8 base live here; coordinates are traced, ops/sparse_linear.py
-    smt_linear_dyn). No dropout (scan is a sparse-phase path; reference
-    sparse training runs dropout-free by default).
+    smt_linear_dyn). Dropout: per-layer keys are folded from dropout_rng
+    with the ABSOLUTE layer index scanned in as an xs leaf — the identical
+    fold_in stream the unrolled forward uses, so scan/unrolled dropout
+    runs agree exactly at equal seeds (tests/test_scan_phase.py dropout
+    rows).
 
     stop_grad_below_layer is honored with the unrolled form's perf
     semantics too (torch-autograd parity P18): the scan splits statically
@@ -470,6 +474,9 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
     xs = {"lp": params["layers_stacked"]}
     if layer_xs is not None:
         xs["ex"] = layer_xs
+    if dropout_rng is not None:
+        # absolute layer indices -> the same fold_in stream as unrolled
+        xs["li"] = jnp.arange(n_layers, dtype=jnp.int32)
 
     def body(x, xs_l):
         if linear_scan is not None:
@@ -480,8 +487,10 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
                 return linear_scan(h, w, module, ex)
         else:
             linear = default_linear
+        layer_rng = (jax.random.fold_in(dropout_rng, xs_l["li"])
+                     if dropout_rng is not None else None)
         x = layer_fn(xs_l["lp"], x, mask_bias, cos, sin, cfg, linear, 0,
-                     attn_impl)
+                     attn_impl, dropout_rng=layer_rng)
         return x, None
 
     if cut is None:

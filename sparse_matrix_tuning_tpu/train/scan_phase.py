@@ -51,16 +51,16 @@ def resolve_scan_layers(cfg: SMTConfig, model_cfg: LlamaConfig,
     """"auto" enables the scan phase for deep models (where the unrolled
     compile time bites) in BOTH sparsity modes — matrix via smt_linear_dyn,
     channel via smt_channel_linear_dyn; fp16 runs carry the DeepSpeed-
-    semantics dynamic loss scaler through the scan steps too; dropout runs
-    stay unrolled (unsupported in the scan dispatch; reference sparse
-    training is dropout-free by default)."""
+    semantics dynamic loss scaler through the scan steps too, and dropout
+    runs fold per-layer keys from the scanned layer index (forward_scan
+    reproduces the unrolled fold_in stream exactly)."""
     if cfg.scan_layers == "off":
         return False
-    supported = mode in ("matrix", "channel") and cfg.dropout <= 0
+    supported = mode in ("matrix", "channel")
     if cfg.scan_layers == "on":
         if not supported:
             raise ValueError("scan_layers=on requires matrix or channel "
-                             "mode and dropout=0")
+                             "mode")
         return True
     return supported and model_cfg.num_hidden_layers >= 12
 
@@ -94,6 +94,7 @@ def init_scan_warmup_state(params, cfg: SMTConfig,
                            model_cfg: LlamaConfig) -> Dict:
     """Stacked twin of steps.init_warmup_state (matrix mode,
     per_step_stats): acc is {module: (L, RB, CB) fp32}."""
+    from sparse_matrix_tuning_tpu.models.llama import TARGET_MODULES
     from sparse_matrix_tuning_tpu.train.steps import _wants_saliency
 
     L = model_cfg.num_hidden_layers
@@ -113,7 +114,13 @@ def init_scan_warmup_state(params, cfg: SMTConfig,
         state["good_steps"] = jnp.zeros((), jnp.int32)
     acc = {}
     for mod, w in master["layers_stacked"].items():
-        if w.ndim != 3 or not _wants_saliency(cfg, mod):
+        # TARGET_MODULES gate matters: _wants_saliency alone would admit
+        # o_proj (it treats every non-attention module as MLP), which is
+        # never an SMT target — the unrolled init_warmup_state iterates
+        # TARGET_MODULES explicitly (steps.py) and selection dims exclude
+        # o_proj, so harvesting it here could select an unconvertible block
+        if (w.ndim != 3 or mod not in TARGET_MODULES
+                or not _wants_saliency(cfg, mod)):
             continue
         if w.shape[1] % BLOCK or w.shape[2] % BLOCK:
             continue  # excluded from selection (steps.init_warmup_state)
@@ -141,11 +148,17 @@ def build_scan_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
     param_dtype = cfg.param_dtype
     lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
     use_ls = cfg.dtype == "fp16"
+    # same stream as the unrolled warm-up step (steps.build_warmup_step)
+    base_rng = jax.random.PRNGKey(cfg.seed) if cfg.dropout > 0 else None
 
     def step(state: Dict, batch: Dict) -> tuple:
+        drng = (jax.random.fold_in(base_rng, state["step"])
+                if base_rng is not None else None)
+
         def loss_of(master, mb):
             params = _cast_tree(master, param_dtype)
-            raw = _warmup_scan_loss(params, mb, cfg, model_cfg)
+            raw = _warmup_scan_loss(params, mb, cfg, model_cfg,
+                                    dropout_rng=drng)
             return raw * state["loss_scale"] if use_ls else raw
 
         vag = accumulated_value_and_grad(loss_of, batch,
@@ -200,14 +213,16 @@ def build_scan_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
     return step
 
 
-def _warmup_scan_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig):
+def _warmup_scan_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
+                      dropout_rng=None):
     from sparse_matrix_tuning_tpu.models.llama import causal_lm_loss
     from sparse_matrix_tuning_tpu.ops.loss import chunked_causal_lm_loss
     from sparse_matrix_tuning_tpu.train.steps import _use_chunked_loss
 
     kw = dict(attention_mask=batch.get("attention_mask"),
               remat=cfg.gradient_checkpointing,
-              attn_impl=cfg.attn_impl)
+              attn_impl=cfg.attn_impl,
+              dropout_rng=dropout_rng)
     if _use_chunked_loss(cfg, model_cfg):
         hidden = forward_scan(params, batch["input_ids"], model_cfg,
                               return_hidden=True, **kw)
@@ -596,7 +611,7 @@ def make_scan_dispatch(impl: str, mode: str = "matrix"):
 
 def _scan_loss(state: Dict, batch: Dict, trainable, cfg: SMTConfig,
                model_cfg: LlamaConfig, lowest_layer: Optional[int],
-               mode: str = "matrix"):
+               mode: str = "matrix", dropout_rng=None):
     from sparse_matrix_tuning_tpu.models.llama import causal_lm_loss
     from sparse_matrix_tuning_tpu.ops.loss import chunked_causal_lm_loss
     from sparse_matrix_tuning_tpu.train.steps import _use_chunked_loss
@@ -609,7 +624,8 @@ def _scan_loss(state: Dict, batch: Dict, trainable, cfg: SMTConfig,
               attention_mask=batch.get("attention_mask"),
               remat=cfg.sparse_remat,
               stop_grad_below_layer=lowest_layer,
-              attn_impl=cfg.attn_impl)
+              attn_impl=cfg.attn_impl,
+              dropout_rng=dropout_rng)
     b, sq = batch["input_ids"].shape
     if _use_chunked_loss(cfg, model_cfg, sparse=True,
                          batch_tokens=b * (sq - 1)):
@@ -651,11 +667,16 @@ def build_scan_sparse_step(cfg: SMTConfig, model_cfg: LlamaConfig,
     lr_scale = make_qk_lr_scale(cfg.qk_lr_times) if cfg.qk_scheduler else None
     lowest_layer = min(lp.layer for lp in plan.linears.values())
     use_ls = cfg.dtype == "fp16"  # DeepSpeed-semantics dynamic loss scaling
+    # same stream as the unrolled sparse step (steps.build_sparse_step)
+    base_rng = jax.random.PRNGKey(cfg.seed + 1) if cfg.dropout > 0 else None
 
     def step(state: Dict, batch: Dict) -> tuple:
+        drng = (jax.random.fold_in(base_rng, state["step"])
+                if base_rng is not None else None)
+
         def loss_of(trainable, mb):
             raw = _scan_loss(state, mb, trainable, cfg, model_cfg,
-                             lowest_layer, plan.mode)
+                             lowest_layer, plan.mode, dropout_rng=drng)
             return raw * state["loss_scale"] if use_ls else raw
 
         vag = accumulated_value_and_grad(loss_of, batch,

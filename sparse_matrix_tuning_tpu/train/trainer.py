@@ -104,11 +104,11 @@ class SMTTrainer:
             build_scan_state_from_hf)
 
         model_cfg = model_cfg or load_hf_config(model_dir)
-        if plan.mode not in ("matrix", "channel") or cfg.dropout > 0 \
-                or cfg.dtype == "fp16":
+        if plan.mode not in ("matrix", "channel") or cfg.dtype == "fp16":
             raise ValueError("sparse_scan_from_hf requires matrix or "
-                             "channel mode, dropout=0 and dtype != fp16 "
-                             "(scan phase)")
+                             "channel mode and dtype != fp16 (the fp16 "
+                             "loss-scale state is created by the warm-up "
+                             "phase, which this entry skips)")
 
         self = cls.__new__(cls)
         self.cfg = cfg

@@ -103,6 +103,32 @@ def test_eval_cli_on_export(tiny_hf_dir, tmp_path):
     assert (tmp_path / "eval_out" / "summary.json").exists()
 
 
+def test_eval_cli_q8_quantize_on_load(tiny_hf_dir, tmp_path):
+    """--frozen_quant int8: the checkpoint streams to device as int8 and
+    decodes through the layers_q8 branch — the dense bf16 form never
+    materialises (8B-on-16G eval). Same harness artifacts as the exact
+    path, and predictions stay plausible text (extraction still runs)."""
+    from sparse_matrix_tuning_tpu.cli.run_commonsense import main
+    data_dir = tmp_path / "cs"
+    (data_dir / "boolq").mkdir(parents=True)
+    examples = [{"instruction": f"Is the sky blue? {i}", "answer": "true"}
+                for i in range(3)]
+    (data_dir / "boolq" / "test.json").write_text(json.dumps(examples))
+
+    results = main([
+        "--model_name_or_path", tiny_hf_dir,
+        "--data_path", str(data_dir),
+        "--datasets", "boolq",
+        "--output_dir", str(tmp_path / "eval_q8"),
+        "--per_device_eval_batch_size", "2",
+        "--max_new_tokens", "6", "--num_beams", "1",
+        "--dtype", "fp32", "--frozen_quant", "int8",
+    ])
+    assert "boolq" in results
+    preds = (tmp_path / "eval_q8" / "boolq" / "model_predictions.jsonl")
+    assert len(preds.read_text().strip().splitlines()) == 3
+
+
 def test_eval_cli_math_dataset(tiny_hf_dir, tmp_path):
     from sparse_matrix_tuning_tpu.cli.run_commonsense import main
     data_dir = tmp_path / "math"

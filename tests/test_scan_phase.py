@@ -43,6 +43,45 @@ def test_scan_matches_unrolled_q8():
     assert l_s[-1] < l_s[0]
 
 
+def _train_dropout(scan: str, saliency="auto", n=8):
+    import dataclasses
+
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    cfg_m = dataclasses.replace(CFG, attention_dropout=0.1)
+    cfg = smt_cfg(scan_layers=scan, dropout=0.1,
+                  saliency_accumulation=saliency)
+    params = init_params(jax.random.PRNGKey(0), cfg_m)
+    t = SMTTrainer(cfg, cfg_m, params, total_steps=n)
+    return t, [float(t.train_step(b)["loss"]) for b in make_batches(n)]
+
+
+def test_scan_matches_unrolled_dropout():
+    """Dropout through the scan sparse phase: forward_scan folds per-layer
+    keys from the scanned ABSOLUTE layer index — the identical fold_in
+    stream the unrolled forward uses, so losses agree at equal seeds."""
+    t_s, l_s = _train_dropout("on")
+    t_u, l_u = _train_dropout("off")
+    assert t_s._scan and not t_u._scan
+    np.testing.assert_allclose(l_s[:2], l_u[:2], rtol=1e-6)  # same warm-up
+    np.testing.assert_allclose(l_s[2:], l_u[2:], rtol=2e-3)
+    # dropout actually engages: a dropout-free run diverges from step 1
+    from test_train_e2e import run_training
+    _, l_nodrop = run_training(smt_cfg(scan_layers="off"))
+    assert abs(l_nodrop[0] - l_u[0]) > 1e-6
+
+
+def test_scan_warmup_dropout_matches_unrolled():
+    """per_step_stats saliency engages the SCAN WARM-UP too; dropout masks
+    must match the unrolled warm-up's (same fold streams)."""
+    t_s, l_s = _train_dropout("on", saliency="per_step_stats")
+    t_u, l_u = _train_dropout("off", saliency="per_step_stats")
+    assert t_s._scan
+    np.testing.assert_allclose(l_s, l_u, rtol=3e-3)
+    assert t_s.plan.fingerprint() == t_u.plan.fingerprint()
+
+
 def test_scan_export_matches_unrolled():
     t_s, _ = _train("on")
     t_u, _ = _train("off")
@@ -117,8 +156,11 @@ def test_scan_auto_resolution():
     assert not resolve_scan_layers(smt_cfg(), CFG, "matrix")  # 2 layers
     assert resolve_scan_layers(smt_cfg(), deep, "channel")  # since r3
     assert not resolve_scan_layers(smt_cfg(scan_layers="off"), deep, "matrix")
-    # fp16 supported since the scan loss-scaler landed; dropout stays out
+    # fp16 supported since the scan loss-scaler landed; dropout since the
+    # scanned-layer-index fold landed (both phases)
     assert resolve_scan_layers(smt_cfg(dtype="fp16"), deep, "matrix")
+    assert resolve_scan_layers(smt_cfg(dropout=0.1), deep, "matrix")
+    assert resolve_scan_layers(smt_cfg(scan_layers="on", dropout=0.1), deep,
+                               "matrix")
     with pytest.raises(ValueError):
-        resolve_scan_layers(smt_cfg(scan_layers="on", dropout=0.1), deep,
-                            "matrix")
+        resolve_scan_layers(smt_cfg(scan_layers="on"), deep, "none")

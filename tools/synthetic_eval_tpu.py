@@ -121,6 +121,21 @@ def main():
     acc = results["boolq"]
     print(f"SYNTHETIC EVAL accuracy: {acc*100:.1f}% "
           f"(frozen_quant={frozen_quant}, geometry={geometry})")
+    if frozen_quant != "none":
+        # the same export through the INT8 DECODE path (quantize-on-load +
+        # layers_q8): quality-parity evidence for evaluating big models
+        # in int8 on chips their bf16 form does not fit
+        res_q8 = eval_main([
+            "--model_name_or_path", os.path.join(out, "final"),
+            "--data_path", os.path.join(work, "cs"),
+            "--datasets", "boolq",
+            "--output_dir", os.path.join(work, "eval_q8"),
+            "--per_device_eval_batch_size", "20",
+            "--max_new_tokens", "8", "--num_beams", "4",
+            "--frozen_quant", "int8",
+        ])
+        print(f"SYNTHETIC EVAL accuracy (int8 decode): "
+              f"{res_q8['boolq']*100:.1f}% vs exact {acc*100:.1f}%")
     # Bar: clearly above the 50% chance floor. Measured ceiling is model
     # capacity, not the pipeline: FULL fine-tuning of this 10M model
     # plateaus at the same ~0.2-0.4 loss / ~70% accuracy as the SMT run
