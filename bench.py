@@ -236,9 +236,12 @@ def run_phase(phase: str, small: bool) -> dict:
                           num_attention_heads=32, num_key_value_heads=HKV,
                           max_position_embeddings=2048,
                           tie_word_embeddings=False)
-        # SMT_BIG_BSZ: tools/big8b_batch_sweep.py measurement knob only —
-        # the official artifact always runs the default
-        bsz, seq = int(os.environ.get("SMT_BIG_BSZ", 8)), 1024
+        # SMT_BIG_BSZ / SMT_BIG_SEQ: tools/big8b_batch_sweep.py measurement
+        # knobs only — the official artifact always runs the defaults.
+        # Swept on the v5e: bs12 5269 tok/s (vs bs8 5431 — compute-
+        # saturated, bigger batch does not pay), bs16 OOM.
+        bsz = int(os.environ.get("SMT_BIG_BSZ", 8))
+        seq = int(os.environ.get("SMT_BIG_SEQ", 1024))
         cfg = SMTConfig(matrix_sparsity=True, full_ft_steps=0,
                         downsample_attention_blocks_ratio=0.0084,
                         downsample_mlp_blocks_ratio=0.0084,
