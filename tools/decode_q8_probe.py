@@ -113,12 +113,13 @@ def synth_q8_state(cfg: LlamaConfig, seed=0):
     return state, host_frozen
 
 
-def bench_generate(params, cfg, label):
+def bench_generate(params, cfg, label, beams=1):
     rng = np.random.default_rng(0)
     ids = rng.integers(3, cfg.vocab_size, (B, PROMPT)).astype(np.int32)
     mask = np.ones_like(ids)
-    gen = GenerationConfig(max_new_tokens=NEW, num_beams=1,
-                           eos_token_id=-1, pad_token_id=0)
+    gen = GenerationConfig(max_new_tokens=NEW, num_beams=beams,
+                           eos_token_id=-1, pad_token_id=0,
+                           repetition_penalty=1.1 if beams > 1 else 1.0)
     t0 = time.perf_counter()
     generate(params, cfg, ids, mask, gen)
     compile_s = time.perf_counter() - t0
@@ -128,7 +129,7 @@ def bench_generate(params, cfg, label):
     assert out.shape == (B, NEW)
     tps = B * NEW / dt
     print(f"{label}: {tps:8.1f} tok/s decode ({dt*1e3/NEW:.2f} ms/step, "
-          f"batch {B}, compile {compile_s:.0f}s, "
+          f"batch {B}, beams {beams}, compile {compile_s:.0f}s, "
           f"live HBM {live_hbm_bytes()/2**30:.2f} GB)")
     return tps
 
@@ -166,6 +167,9 @@ def main():
     state, host = synth_q8_state(big)
     p = decode_params_from_scan(state, big, host_frozen=host)
     bench_generate(p, big, "8B   q8 corrected")
+    # the eval harness default (beam-4 + repetition penalty): 4x the cache
+    # and per-step compute, same weight traffic per step
+    bench_generate(p, big, "8B   q8 beam-4   ", beams=4)
 
 
 if __name__ == "__main__":

@@ -64,8 +64,17 @@ def _run_scenario(scenario: str, out_dir: str):
     # drift is ~2*steps*lr (measured 0.049 at lr 1e-2). At 1e-4 benign
     # drift sits under the 2e-3 export tolerance while real gather bugs
     # (O(weight-scale) corruption of frozen regions) still trip it.
-    cfg = (smt_cfg(frozen_quant="int8", smt_lr=1e-4)
-           if scenario == "scan_q8" else smt_cfg())
+    if scenario == "scan_q8":
+        cfg = smt_cfg(frozen_quant="int8", smt_lr=1e-4)
+    elif scenario == "scan_channel":
+        # channel twin of the scan export check: activation saliency +
+        # column-sparse scan phase + multi-host HF export through the same
+        # gather path (merged_params_from_scan handles both modes)
+        cfg = smt_cfg(matrix_sparsity=False, channel_sparsity=True,
+                      num_attention_channel=8, num_mlp_channel=8,
+                      saliency_accumulation="per_step_stats", smt_lr=1e-4)
+    else:
+        cfg = smt_cfg()
     cfg.output_dir = out_dir
     model_cfg = CFG if scenario == "unrolled" else _scan_model_cfg()
     params = init_params(jax.random.PRNGKey(0), model_cfg)
@@ -75,7 +84,7 @@ def _run_scenario(scenario: str, out_dir: str):
     assert trainer.phase == "sparse"
     res = {"losses": losses, "fingerprint": trainer.plan.fingerprint(),
            "scan": trainer._scan, "q8": "q" in trainer.state,
-           "q_head": "q_head" in trainer.state}
+           "q_head": "q_head" in trainer.state, "mode": trainer.plan.mode}
     if scenario == "unrolled":
         ppl, eval_loss = trainer.evaluate(make_batches(2, bsz=8, seed=3))
         res["eval_loss"] = eval_loss
@@ -187,6 +196,8 @@ def run(scenario: str):
     assert res["scan"] and ref["scan"], "scan phase did not engage"
     if scenario == "scan_q8":
         assert res["q8"] and res["q_head"], "int8/q_head did not engage"
+    if scenario == "scan_channel":
+        assert res["mode"] == "channel", "channel mode did not engage"
     mp = _load_safetensors(os.path.join(work, "final", "model.safetensors"))
     sp = _load_safetensors(os.path.join(ref_work, "final", "model.safetensors"))
     assert set(mp) == set(sp), (set(mp) ^ set(sp))
@@ -210,8 +221,10 @@ def main():
     if "--scenario" in sys.argv:
         scenario = sys.argv[sys.argv.index("--scenario") + 1]
     # default "all" keeps the suite-bounded pair; the heavier scan_q8
-    # (q8-scan compiles ~15 min on this 1-core host) runs explicitly:
+    # (q8-scan compiles ~15 min on this 1-core host) and scan_channel
+    # (channel twin of the export check) run explicitly:
     #   python tools/multiproc_smoke.py --scenario scan_q8
+    #   python tools/multiproc_smoke.py --scenario scan_channel
     for s in (("unrolled", "scan") if scenario == "all" else (scenario,)):
         run(s)
 
