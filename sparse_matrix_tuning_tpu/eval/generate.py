@@ -145,7 +145,8 @@ def prepare_decode_params(params, model_cfg: LlamaConfig):
 
 
 def decode_params_from_scan(state, model_cfg: LlamaConfig,
-                            host_frozen=None):
+                            host_frozen=None, frozen_quant: str = "int8",
+                            consume: bool = False):
     """Decode params straight from the int8 scan TRAINING state — no bf16
     dense materialization. The frozen base stays int8 on device and the
     selected blocks/columns get their exact trained values through the same
@@ -159,7 +160,15 @@ def decode_params_from_scan(state, model_cfg: LlamaConfig,
     "base", "idx" (see train/scan_phase.py). host_frozen: the trainer's
     host-offload dict; required to restore an offloaded untied lm_head
     (decode keeps the exact bf16 head, like exports — q_head is a
-    training-only artifact)."""
+    training-only artifact).
+
+    frozen_quant="int4" requantizes the frozen base to the nibble-packed
+    int4 layout (scan_phase.requantize_scan_base_int4): decode is HBM-bound
+    on the weight read, so halving the bytes buys both throughput (fused
+    Pallas unpack-matmul, ops/pallas/q4_matmul.py) and capacity; the
+    selected blocks/columns stay exact via re-gathered base values, only
+    the frozen remainder carries int4 noise. consume=True frees each int8
+    module during conversion (state becomes decode-only)."""
     if "q" not in state:
         raise ValueError("decode_params_from_scan needs an int8 scan state "
                          "(state['q'] missing — frozen_quant=none trainers "
@@ -174,6 +183,18 @@ def decode_params_from_scan(state, model_cfg: LlamaConfig,
                     "(trainer._host_frozen) so the exact bf16 head can be "
                     "restored for decoding")
             p["lm_head"] = jnp.asarray(host_frozen["lm_head"])
+    if frozen_quant == "int4":
+        from sparse_matrix_tuning_tpu.train.scan_phase import (
+            requantize_scan_base_int4)
+        q4, base4 = requantize_scan_base_int4(state, consume=consume)
+        p["layers_q8"] = {"q": q4,
+                          "t": state.get("trainable", {}),
+                          "idx": state.get("idx", {}),
+                          "base": base4}
+        return p
+    if frozen_quant != "int8":
+        raise ValueError(f"frozen_quant {frozen_quant!r}: decode supports "
+                         "'int8' (exact base) or 'int4' (packed)")
     p["layers_q8"] = {"q": state["q"],
                       "t": state.get("trainable", {}),
                       "idx": state.get("idx", {}),

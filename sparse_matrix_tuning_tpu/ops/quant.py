@@ -73,3 +73,105 @@ def q8_matmul(g: jax.Array, wq: jax.Array, sw: jax.Array) -> jax.Array:
         gq, wq, (((g.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * sg).astype(g.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Int4 (nibble-packed) frozen base — DECODE path
+# ---------------------------------------------------------------------------
+#
+# Decode is HBM-bandwidth-bound on the frozen weight read (the 8B q8 decode
+# streams ~7.5 GB/step at ~60% of the v5e's peak), so halving the bytes is
+# the remaining big lever there; training matmuls are compute-bound (66-80%
+# MXU util, tools/q8_epilogue_probe.py) and would NOT speed up, which is why
+# int4 is decode-only. jnp.int4 arrays cannot be jit arguments on this
+# runtime (axon RecursionError on S4 signatures — CLAUDE.md), so values are
+# nibble-packed two-per-int8 and unpacked in-kernel (ops/pallas/q4_matmul.py)
+# or in-graph (the XLA reference below).
+#
+# Scheme: symmetric int4 in [-7, 7] with per-(output-channel, input-group)
+# fp32 scales, group size INT4_GROUP along the input dim — the per-group
+# scales recover most of the quality per-channel int4 loses. Packing layout
+# is SPLIT-HALF, not interleaved: packed column k holds original input
+# columns k (low nibble) and k + I/2 (high nibble), so unpacking yields two
+# contiguous column PLANES (no strided deinterleave on TPU) and
+# y = x[:, :I/2] @ lo.T + x[:, I/2:] @ hi.T.
+#
+# The selected SMT blocks/columns still see their exact trained values:
+# the dynamic-index corrections compute delta against base values gathered
+# from THIS dequantized int4 base, so only the frozen remainder carries
+# int4 noise (same argument as the q8 path, ops/sparse_linear.py notes).
+
+INT4_GROUP = 128
+
+
+def _sign_extend_nibble(n):
+    """4-bit two's-complement -> signed int, any integer dtype: (n^8)-8."""
+    return jnp.bitwise_xor(n, 8) - 8
+
+
+def quantize_weight_int4(w: jax.Array, group: int | None = None):
+    """(O, I) weight -> (w4 int8 (O, I//2) nibble-packed, s4 fp32
+    (O, I // group) per-group scales). group defaults to INT4_GROUP when I
+    allows it (every layer linear of the supported families does; the
+    Pallas kernel requires exactly that), else the largest power-of-two
+    divisor of I/2 (tiny test models — XLA reference path only)."""
+    import math
+    o, i = w.shape
+    if group is None:
+        group = (INT4_GROUP if i % (2 * INT4_GROUP) == 0
+                 else math.gcd(INT4_GROUP, max(i // 2, 1)))
+    g = group
+    if i % (2 * g):
+        raise ValueError(f"in_dim {i} not a multiple of {2 * g} — int4 "
+                         "packing needs whole groups in each half-plane")
+    wf = w.astype(jnp.float32).reshape(o, i // g, g)
+    amax = jnp.max(jnp.abs(wf), axis=-1)
+    s4 = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / s4[..., None]), -7, 7)
+    q = q.reshape(o, i).astype(jnp.int32)
+    lo, hi = q[:, :i // 2], q[:, i // 2:]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(jnp.bitwise_and(hi, 0xF), 4))
+    # values fit a byte (0..255); store as int8 (bit pattern preserved)
+    return packed.astype(jnp.uint8).view(jnp.int8), s4
+
+
+def unpack_int4(w4: jax.Array) -> jax.Array:
+    """(O, K) packed int8 -> (O, 2K) int8 in ORIGINAL column order
+    (low plane = cols [0, K), high plane = cols [K, 2K))."""
+    p = w4.view(jnp.uint8).astype(jnp.int32)
+    lo = _sign_extend_nibble(jnp.bitwise_and(p, 0xF))
+    hi = _sign_extend_nibble(jnp.bitwise_and(jnp.right_shift(p, 4), 0xF))
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)
+
+
+def dequantize_weight_int4(w4: jax.Array, s4: jax.Array,
+                           dtype=jnp.bfloat16) -> jax.Array:
+    """Reconstruct the (O, I) weight from the packed int4 representation."""
+    q = unpack_int4(w4)
+    o, i = q.shape
+    g = i // s4.shape[1]
+    return (q.astype(jnp.float32).reshape(o, i // g, g)
+            * s4[..., None]).reshape(o, i).astype(dtype)
+
+
+def q4_matmul_t_ref(x: jax.Array, w4: jax.Array, s4: jax.Array) -> jax.Array:
+    """XLA reference for y = x @ dequant4(W).T — numerics oracle for the
+    Pallas kernel and the non-TPU fallback. Materialises the dequantized
+    weight (no bandwidth win); the kernel never does."""
+    w = dequantize_weight_int4(w4, s4, jnp.bfloat16)
+    return jnp.einsum("...i,oi->...o", x.astype(jnp.bfloat16),
+                      w).astype(x.dtype)
+
+
+def q4_matmul_t(x: jax.Array, w4: jax.Array, s4: jax.Array) -> jax.Array:
+    """y = x @ dequant4(W).T: fused unpack+dequant+matmul Pallas kernel on
+    TPU when the shapes tile (the decode regime), XLA reference otherwise."""
+    i2 = w4.shape[1]
+    if (jax.devices()[0].platform == "tpu" and i2 % INT4_GROUP == 0
+            and s4.shape[1] == 2 * (i2 // INT4_GROUP)
+            and w4.shape[0] % 8 == 0):
+        from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
+            q4_matmul_t_pallas)
+        return q4_matmul_t_pallas(x, w4, s4)
+    return q4_matmul_t_ref(x, w4, s4)

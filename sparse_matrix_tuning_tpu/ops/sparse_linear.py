@@ -323,6 +323,30 @@ def _frozen_q8_bwd(res, g):
 frozen_q8_linear.defvjp(_frozen_q8_fwd, _frozen_q8_bwd)
 
 
+@jax.custom_vjp
+def frozen_q4_linear(x, w4, s4):
+    """y = x @ dequant4(W).T for a fully-frozen linear over the nibble-
+    packed int4 base (decode path — see ops/quant.py int4 notes). Fused
+    Pallas unpack-matmul on TPU; straight-through input gradient."""
+    from sparse_matrix_tuning_tpu.ops.quant import q4_matmul_t
+    return q4_matmul_t(x, w4, s4)
+
+
+def _frozen_q4_fwd(x, w4, s4):
+    return frozen_q4_linear(x, w4, s4), (w4, s4)
+
+
+def _frozen_q4_bwd(res, g):
+    from sparse_matrix_tuning_tpu.ops.quant import dequantize_weight_int4
+    w4, s4 = res
+    w = dequantize_weight_int4(w4, s4, g.dtype)
+    return (jnp.einsum("...o,oi->...i", g, w), _zero_cotangent(w4),
+            jnp.zeros_like(s4))
+
+
+frozen_q4_linear.defvjp(_frozen_q4_fwd, _frozen_q4_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Dynamic-index (scan-over-layers) matrix sparsity
 # ---------------------------------------------------------------------------
@@ -381,6 +405,9 @@ def _dyn_correction(out2, src2, delta_mats, idx_out, idx_in):
 
 
 def _base_matmul(x, wq_or_w):
+    if "w4" in wq_or_w:
+        from sparse_matrix_tuning_tpu.ops.quant import q4_matmul_t
+        return q4_matmul_t(x, wq_or_w["w4"], wq_or_w["s4"])
     if "wq" in wq_or_w:
         from sparse_matrix_tuning_tpu.ops.quant import q8_matmul_t
         return q8_matmul_t(x, wq_or_w["wq"], wq_or_w["sw"])
@@ -388,6 +415,13 @@ def _base_matmul(x, wq_or_w):
 
 
 def _base_matmul_T(g, wq_or_w):
+    if "w4" in wq_or_w:
+        # int4 is a DECODE-only base (training is compute-bound — CLAUDE.md);
+        # the grad path exists for completeness and materialises the
+        # dequantized weight (off the hot path by construction).
+        from sparse_matrix_tuning_tpu.ops.quant import dequantize_weight_int4
+        w = dequantize_weight_int4(wq_or_w["w4"], wq_or_w["s4"], g.dtype)
+        return jnp.einsum("...o,oi->...i", g, w)
     if "wq" in wq_or_w:
         from sparse_matrix_tuning_tpu.ops.quant import q8_matmul
         return q8_matmul(g, wq_or_w["wq"], wq_or_w["sw"])

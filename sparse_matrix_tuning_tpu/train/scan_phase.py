@@ -588,15 +588,16 @@ def make_scan_dispatch(impl: str, mode: str = "matrix"):
     other quantized modules the plain q8 path; everything else a dense
     matmul."""
     from sparse_matrix_tuning_tpu.ops.sparse_linear import (
-        smt_channel_linear_dyn)
+        frozen_q4_linear, smt_channel_linear_dyn)
 
     def linear_scan(x, w, module: str, ex):
         qmod = ex.get("q", {}).get(module)
         t = ex["t"].get(module)
         if t is not None:
             meta = ex["idx"][module]
-            frozen = ({"wq": qmod["wq"], "sw": qmod["sw"]}
-                      if qmod is not None else {"w": w})
+            # qmod is {"wq","sw"} (int8) or {"w4","s4"} (int4 decode);
+            # smt_*_dyn dispatch the base matmul on the keys.
+            frozen = dict(qmod) if qmod is not None else {"w": w}
             if mode == "channel":
                 return smt_channel_linear_dyn(impl, x, t, meta["ci"],
                                               meta["valid"], frozen,
@@ -604,6 +605,8 @@ def make_scan_dispatch(impl: str, mode: str = "matrix"):
             return smt_linear_dyn(impl, x, t, meta["rb"], meta["cb"],
                                   meta["valid"], frozen, ex["base"][module])
         if qmod is not None:
+            if "w4" in qmod:
+                return frozen_q4_linear(x, qmod["w4"], qmod["s4"])
             return frozen_q8_linear(x, qmod["wq"], qmod["sw"])
         return jnp.einsum("...i,oi->...o", x, w)
     return linear_scan
@@ -791,3 +794,54 @@ def merged_params_from_scan(state: Dict, plan: SMTPlan,
         params["lm_head"] = host_frozen["lm_head"]  # offloaded untied head
     params["layers"] = layers
     return params
+
+
+def requantize_scan_base_int4(state: Dict, consume: bool = False):
+    """Convert an int8 scan state's frozen base to the nibble-packed int4
+    layout for DECODE (ops/quant.py int4 notes): returns (q4, base4) where
+    q4[mod] = {"w4": (L, O, I/2) int8, "s4": (L, O, I/128) fp32} and
+    base4 re-gathers the selected block/column values from the DEQUANTIZED
+    int4 base, so the dynamic-index corrections keep the selected weights
+    exact against the int4 base (only the frozen remainder carries int4
+    noise — the same exactness argument as the q8 training path).
+
+    Layer-streamed via lax.map: the transient is one layer's fp32 dense
+    weight. consume=True deletes each int8 module from state["q"] as its
+    int4 twin is built (halves peak HBM during conversion; the state stops
+    being trainable — eval-CLI / decode-only use)."""
+    from sparse_matrix_tuning_tpu.ops.quant import (
+        dequantize_weight, dequantize_weight_int4, quantize_weight_int4)
+
+    if "q" not in state:
+        raise ValueError("requantize_scan_base_int4 needs an int8 scan "
+                         "state (state['q'] missing)")
+    idx = state.get("idx", {})
+
+    def conv_layer(args):
+        wq_l, sw_l = args
+        return quantize_weight_int4(dequantize_weight(wq_l, sw_l,
+                                                      jnp.float32))
+
+    q4: Dict = {}
+    for mod in sorted(state["q"]):
+        wq = state["q"][mod]["wq"]
+        sw = state["q"][mod]["sw"]
+        w4, s4 = jax.lax.map(conv_layer, (wq, sw))
+        q4[mod] = {"w4": w4, "s4": s4}
+        if consume:
+            del state["q"][mod]
+
+    base4: Dict = {}
+    for mod, meta in idx.items():
+        mode = "channel" if "ci" in meta else "matrix"
+
+        def base_layer(args, _mode=mode):
+            leaves = args
+            wd = dequantize_weight_int4(leaves["w4"], leaves["s4"],
+                                        jnp.float32)
+            return _plan_gather(_mode, wd, leaves["meta"])
+
+        base4[mod] = jax.lax.map(
+            base_layer, {"w4": q4[mod]["w4"], "s4": q4[mod]["s4"],
+                         "meta": dict(meta)})
+    return q4, base4
