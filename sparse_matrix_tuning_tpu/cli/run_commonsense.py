@@ -39,12 +39,21 @@ def build_parser():
     p.add_argument("--dtype", type=str, default="bf16",
                    choices=["bf16", "fp32"])
     p.add_argument("--frozen_quant", type=str, default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int4"],
                    help="int8: quantize-on-load the checkpoint and decode "
                         "through the int8 scan path — an 8B checkpoint "
                         "evaluates on one 16G chip (and decodes ~1.6x "
-                        "faster, tools/decode_q8_probe.py); none (default) "
-                        "keeps the exact bf16 forward")
+                        "faster, tools/decode_q8_probe.py); int4: further "
+                        "requantize the frozen base to the nibble-packed "
+                        "layout (half the weight HBM traffic, fused Pallas "
+                        "unpack-matmul); none (default) keeps the exact "
+                        "bf16 forward")
+    p.add_argument("--kv_cache", type=str, default="auto",
+                   choices=["auto", "exact", "int8"],
+                   help="int8: quantized KV cache (per-slot-per-head "
+                        "scales) — half the cache HBM + read traffic, the "
+                        "long-context lever; exact: cache in --dtype; "
+                        "auto (default) = exact (opt in to int8 per run)")
     p.add_argument("--seed", type=int, default=1234)
     return p
 
@@ -65,7 +74,7 @@ def main(argv=None):
     set_random_seed(args.seed)
     model_cfg = load_hf_config(args.model_name_or_path)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    if args.frozen_quant == "int8":
+    if args.frozen_quant in ("int8", "int4"):
         # quantize-on-load + int8 scan decode: the checkpoint streams to
         # device one tensor at a time and decodes through the layers_q8
         # branch — bf16 dense weights never materialise on the chip, so a
@@ -85,7 +94,9 @@ def main(argv=None):
         state, _ = build_scan_state_from_hf(
             qcfg, args.model_name_or_path,
             SMTPlan(mode="matrix", linears={}), model_cfg, keep_host=False)
-        params = decode_params_from_scan(state, model_cfg)
+        params = decode_params_from_scan(state, model_cfg,
+                                         frozen_quant=args.frozen_quant,
+                                         consume=True)
     else:
         params = load_hf_params(args.model_name_or_path, model_cfg,
                                 dtype=dtype)
@@ -98,7 +109,8 @@ def main(argv=None):
         repetition_penalty=args.repetition_penalty,
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id or 0,
-        cache_dtype="bfloat16" if args.dtype == "bf16" else "float32")
+        cache_dtype=("int8" if args.kv_cache == "int8"
+                     else "bfloat16" if args.dtype == "bf16" else "float32"))
     generate_fn = make_generate_fn(params, model_cfg, tokenizer, gen_cfg,
                                    batch_size=args.per_device_eval_batch_size)
 

@@ -38,6 +38,10 @@ class GenerationConfig:
     length_penalty: float = 1.0
     eos_token_id: int = 2
     pad_token_id: int = 0
+    # "int8" stores the KV cache quantized (per-slot-per-head scales,
+    # models/llama.init_cache): half the cache HBM + read traffic — the
+    # long-context decode lever (weights are already int8/int4 via
+    # frozen_quant; past ~2k slots the cache read dominates the step).
     cache_dtype: str = "bfloat16"
 
 
@@ -67,8 +71,11 @@ def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
     slot_mask = jnp.zeros((batch, max_len), jnp.int32)
     slot_mask = jax.lax.dynamic_update_slice(slot_mask, attention_mask.astype(jnp.int32), (0, 0))
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+    # last_only: full-prompt logits are b*p_len*V fp32 of discarded HBM
+    # (8.4 GB at 8B/p2048) and ~p_len times the head matmul FLOPs
     logits, cache = forward_with_cache(params, input_ids, model_cfg, cache,
-                                       0, slot_mask, positions)
+                                       0, slot_mask, positions,
+                                       last_only=True)
     last_logits = logits[:, -1, :]  # left padding -> last slot is real
     real_len = attention_mask.sum(axis=-1).astype(jnp.int32)  # (B,)
     seen = jnp.zeros((batch, model_cfg.vocab_size), bool)
@@ -184,9 +191,26 @@ def decode_params_from_scan(state, model_cfg: LlamaConfig,
                     "restored for decoding")
             p["lm_head"] = jnp.asarray(host_frozen["lm_head"])
     if frozen_quant == "int4":
+        from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
+            LANE, build_scale_strips, pad_packed)
         from sparse_matrix_tuning_tpu.train.scan_phase import (
             requantize_scan_base_int4)
         q4, base4 = requantize_scan_base_int4(state, consume=consume)
+        # stacked-kernel layout (built ONCE here): K-tile-padded packed
+        # stack + transposed scale strips, so the decode scan can index
+        # layers inside the kernel via scalar prefetch instead of slicing
+        # (slicing materialises a full per-layer weight copy every decode
+        # step — see ops/pallas/q4_matmul.py stacked notes).
+        for mod, qm in q4.items():
+            w4, s4 = qm["w4"], qm["s4"]
+            o, k = w4.shape[1], w4.shape[2]
+            conforms = (k % LANE == 0
+                        and s4.shape[-1] == 2 * (k // LANE)
+                        and o % 128 == 0)
+            if conforms:
+                qm["w4p"] = pad_packed(w4)
+                slt, sht = jax.vmap(lambda s: build_scale_strips(s, k))(s4)
+                qm["slt"], qm["sht"] = slt, sht
         p["layers_q8"] = {"q": q4,
                           "t": state.get("trainable", {}),
                           "idx": state.get("idx", {}),

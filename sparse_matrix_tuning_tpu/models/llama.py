@@ -518,16 +518,33 @@ def init_cache(cfg: LlamaConfig, batch_size: int, max_len: int,
                dtype=jnp.bfloat16, stacked: bool = False):
     """K/V ring buffers: per-layer dicts (B, max_len, Hkv, hd), or a single
     stacked {"k"/"v": (L, B, max_len, Hkv, hd)} pair for the scan-over-layers
-    decode path."""
+    decode path.
+
+    dtype int8 builds the QUANTIZED cache layout instead: int8 k/v plus
+    per-(slot, head) fp32 "ks"/"vs" scale leaves (..., max_len, Hkv, 1).
+    Long-context decode reads the whole cache every step, so the int8 form
+    halves that HBM traffic and doubles the context that fits a chip; new
+    slots are quantized symmetrically per head at write time and dequantized
+    in-register at attention (the dense K/V tile never lands in HBM). The
+    reference has no KV-cache story at all (eval reloads HF generate)."""
     hd = cfg.head_dim
     shape = (batch_size, max_len, cfg.num_key_value_heads, hd)
+    sshape = shape[:-1] + (1,)
     if stacked:
-        full = (cfg.num_hidden_layers,) + shape
-        return {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
-    return {
-        str(i): {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-        for i in range(cfg.num_hidden_layers)
-    }
+        shape = (cfg.num_hidden_layers,) + shape
+        sshape = (cfg.num_hidden_layers,) + sshape
+    if jnp.dtype(dtype) == jnp.int8:
+        def one():
+            return {"k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "ks": jnp.zeros(sshape, jnp.float32),
+                    "vs": jnp.zeros(sshape, jnp.float32)}
+    else:
+        def one():
+            return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if stacked:
+        return one()
+    return {str(i): one() for i in range(cfg.num_hidden_layers)}
 
 
 def stack_layers(params: Mapping[str, Any], cfg: LlamaConfig) -> Dict:
@@ -550,9 +567,23 @@ def cache_batch_axis(params: Mapping[str, Any]) -> int:
     return 1 if "layers_stacked" in params else 0
 
 
-def _cached_layer(lp, x, ck_old, cv_old, cache_index, mask_bias, cos, sin,
+def _quant_kv(t):
+    """Symmetric per-(slot, head) int8 quantization of a K/V slice
+    (B, S_new, Hkv, hd) -> (int8 values, fp32 scales (B, S_new, Hkv, 1))."""
+    t32 = t.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(t32), axis=-1, keepdims=True) / 127.0,
+                    1e-10)
+    return jnp.round(t32 / s).astype(jnp.int8), s
+
+
+def _cached_layer(lp, x, kv_old, cache_index, mask_bias, cos, sin,
                   cfg: LlamaConfig, linear, layer_idx: int):
-    """One decoder layer in incremental-decode form; returns (x, ck, cv)."""
+    """One decoder layer in incremental-decode form; returns (x, kv_new).
+
+    kv_old: {"k","v"} ring buffers, plus {"ks","vs"} per-(slot, head) fp32
+    scales when the cache is int8-quantized (init_cache dtype int8) — the
+    cache READ is then half the bytes and the dense K/V tiles exist only
+    in-register after the fused dequant."""
     b, s_new, _ = x.shape
     h = _rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
     q = _lin(lp, h, "q_proj", linear, layer_idx).reshape(
@@ -564,19 +595,32 @@ def _cached_layer(lp, x, ck_old, cv_old, cache_index, mask_bias, cos, sin,
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    ck = jax.lax.dynamic_update_slice(
-        ck_old, k.astype(ck_old.dtype), (0, cache_index, 0, 0))
-    cv = jax.lax.dynamic_update_slice(
-        cv_old, v.astype(cv_old.dtype), (0, cache_index, 0, 0))
+    quant = "ks" in kv_old
+    at = (0, cache_index, 0, 0)
+    if quant:
+        ki, ks_new = _quant_kv(k)
+        vi, vs_new = _quant_kv(v)
+        kv = {"k": jax.lax.dynamic_update_slice(kv_old["k"], ki, at),
+              "v": jax.lax.dynamic_update_slice(kv_old["v"], vi, at),
+              "ks": jax.lax.dynamic_update_slice(kv_old["ks"], ks_new, at),
+              "vs": jax.lax.dynamic_update_slice(kv_old["vs"], vs_new, at)}
+        k_all = kv["k"].astype(q.dtype) * kv["ks"].astype(q.dtype)
+        v_all = kv["v"].astype(x.dtype) * kv["vs"].astype(x.dtype)
+    else:
+        kv = {"k": jax.lax.dynamic_update_slice(
+                  kv_old["k"], k.astype(kv_old["k"].dtype), at),
+              "v": jax.lax.dynamic_update_slice(
+                  kv_old["v"], v.astype(kv_old["v"].dtype), at)}
+        k_all = kv["k"].astype(q.dtype)
+        v_all = kv["v"].astype(x.dtype)
 
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
     groups = hq // hkv
     qg = q.reshape(b, s_new, hkv, groups, cfg.head_dim)
-    scores = jnp.einsum("bqkgd,bskd->bkgqs", qg,
-                        ck.astype(q.dtype)).astype(jnp.float32)
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k_all).astype(jnp.float32)
     scores = scores / np.sqrt(cfg.head_dim) + mask_bias[:, None, None, :, :]
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    attn = jnp.einsum("bkgqs,bskd->bqkgd", probs, cv.astype(x.dtype))
+    attn = jnp.einsum("bkgqs,bskd->bqkgd", probs, v_all)
     attn = attn.reshape(b, s_new, hq * cfg.head_dim)
     x = x + _lin(lp, attn, "o_proj", linear, layer_idx)
 
@@ -584,17 +628,22 @@ def _cached_layer(lp, x, ck_old, cv_old, cache_index, mask_bias, cos, sin,
     gate = _lin(lp, h, "gate_proj", linear, layer_idx)
     up = _lin(lp, h, "up_proj", linear, layer_idx)
     x = x + _lin(lp, jax.nn.silu(gate) * up, "down_proj", linear, layer_idx)
-    return x, ck, cv
+    return x, kv
 
 
 def forward_with_cache(params: Mapping[str, Any], input_ids: jax.Array,
                        cfg: LlamaConfig, cache, cache_index,
                        slot_mask: jax.Array, positions: jax.Array,
-                       linear=default_linear):
+                       linear=default_linear, last_only: bool = False):
     """Incremental forward: write K/V for `input_ids` (B, S_new) at slots
     [cache_index, cache_index+S_new), attend over the whole cache gated by
     `slot_mask` (B, max_len; must already include the new tokens' slots),
     with RoPE at per-example `positions` (B, S_new). Returns (logits, cache).
+
+    last_only=True emits logits for the LAST position only, (B, 1, V) —
+    the prefill case (left padding puts the last real token at slot -1):
+    full-prompt logits are b*s*V fp32 (8.4 GB at 8B/V=128k/s=2048 — an
+    instant OOM on one chip) and ~s times the head FLOPs, all discarded.
 
     Accepts either per-layer params (python loop; supports the `linear`
     dispatch hook) or `stack_layers` output (single lax.scan body — one
@@ -630,42 +679,58 @@ def forward_with_cache(params: Mapping[str, Any], input_ids: jax.Array,
         mode = ("channel" if any("ci" in m for m in idx.values())
                 else "matrix")
         lin_scan = make_scan_dispatch("oracle", mode)
+        # int4 modules with the stacked-kernel layout (w4p/slt/sht, built
+        # by decode_params_from_scan) must NOT ride as scanned xs: the
+        # per-layer slice feeding a pallas custom call materialises a full
+        # weight copy every step (~1.45 ms/step at L=8, profiled). They
+        # close over the scan and the kernel indexes the stack at the
+        # scanned layer index via scalar prefetch.
+        q_all = ex_tree.get("q", {})
+        q4_stacks = {m: {"w4s": q["w4p"], "slt": q["slt"], "sht": q["sht"],
+                         "s4s": q["s4"]}
+                     for m, q in q_all.items() if "w4p" in q}
+        ex_scan = {k: v for k, v in ex_tree.items() if k != "q"}
+        ex_scan["q"] = {m: q for m, q in q_all.items() if "w4p" not in q}
+        n_layers = cfg.num_hidden_layers
 
         def body(x, scanned):
-            lp, ex, ck_old, cv_old = scanned
+            lp, ex, l, kv_old = scanned
+            ex = dict(ex)
+            ex["q4s"] = q4_stacks
+            ex["l"] = l
             lin = lambda xx, w, module, li: lin_scan(xx, w, module, ex)
-            x, ck, cv = _cached_layer(lp, x, ck_old, cv_old, cache_index,
-                                      mask_bias, cos, sin, cfg, lin, 0)
-            return x, (ck, cv)
+            x, kv = _cached_layer(lp, x, kv_old, cache_index,
+                                  mask_bias, cos, sin, cfg, lin, 0)
+            return x, kv
 
-        x, (nk, nv) = jax.lax.scan(
+        x, new_cache = jax.lax.scan(
             body, x,
-            (params["layers_stacked"], ex_tree, cache["k"], cache["v"]))
-        new_cache = {"k": nk, "v": nv}
+            (params["layers_stacked"], ex_scan,
+             jnp.arange(n_layers, dtype=jnp.int32), cache))
     elif "layers_stacked" in params:
         assert linear is default_linear, \
             "scan-over-layers decode supports dense linears only"
 
         def body(x, scanned):
-            lp, ck_old, cv_old = scanned
-            x, ck, cv = _cached_layer(lp, x, ck_old, cv_old, cache_index,
-                                      mask_bias, cos, sin, cfg,
-                                      default_linear, 0)
-            return x, (ck, cv)
+            lp, kv_old = scanned
+            x, kv = _cached_layer(lp, x, kv_old, cache_index,
+                                  mask_bias, cos, sin, cfg,
+                                  default_linear, 0)
+            return x, kv
 
-        x, (nk, nv) = jax.lax.scan(
-            body, x, (params["layers_stacked"], cache["k"], cache["v"]))
-        new_cache = {"k": nk, "v": nv}
+        x, new_cache = jax.lax.scan(
+            body, x, (params["layers_stacked"], cache))
     else:
         new_cache = {}
         for i in range(cfg.num_hidden_layers):
             li = str(i)
-            x, ck, cv = _cached_layer(params["layers"][li], x,
-                                      cache[li]["k"], cache[li]["v"],
-                                      cache_index, mask_bias, cos, sin, cfg,
-                                      linear, i)
-            new_cache[li] = {"k": ck, "v": cv}
+            x, kv = _cached_layer(params["layers"][li], x, cache[li],
+                                  cache_index, mask_bias, cos, sin, cfg,
+                                  linear, i)
+            new_cache[li] = kv
 
+    if last_only:
+        x = x[:, -1:, :]
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params["embed_tokens"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.einsum("bsd,vd->bsv", x, head).astype(jnp.float32)

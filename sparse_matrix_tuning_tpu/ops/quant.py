@@ -158,9 +158,14 @@ def dequantize_weight_int4(w4: jax.Array, s4: jax.Array,
 def q4_matmul_t_ref(x: jax.Array, w4: jax.Array, s4: jax.Array) -> jax.Array:
     """XLA reference for y = x @ dequant4(W).T — numerics oracle for the
     Pallas kernel and the non-TPU fallback. Materialises the dequantized
-    weight (no bandwidth win); the kernel never does."""
-    w = dequantize_weight_int4(w4, s4, jnp.bfloat16)
-    return jnp.einsum("...i,oi->...o", x.astype(jnp.bfloat16),
+    weight (no bandwidth win); the kernel never does.
+
+    Computes against the FP32-dequantized weight (bf16 x values are exact
+    in fp32): the same semantics as the Pallas kernel's integer-exact
+    group dots with fp32 post-scales, and the same fp32 base the decode
+    delta corrections are gathered against (requantize_scan_base_int4)."""
+    w = dequantize_weight_int4(w4, s4, jnp.float32)
+    return jnp.einsum("...i,oi->...o", x.astype(jnp.float32),
                       w).astype(x.dtype)
 
 
@@ -170,8 +175,33 @@ def q4_matmul_t(x: jax.Array, w4: jax.Array, s4: jax.Array) -> jax.Array:
     i2 = w4.shape[1]
     if (jax.devices()[0].platform == "tpu" and i2 % INT4_GROUP == 0
             and s4.shape[1] == 2 * (i2 // INT4_GROUP)
-            and w4.shape[0] % 8 == 0):
+            and w4.shape[0] % 128 == 0):
         from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
             q4_matmul_t_pallas)
         return q4_matmul_t_pallas(x, w4, s4)
     return q4_matmul_t_ref(x, w4, s4)
+
+
+def q4_matmul_t_stacked(x: jax.Array, w4s: jax.Array, slt: jax.Array,
+                        sht: jax.Array, layer) -> jax.Array:
+    """y = x @ dequant4(W[layer]).T against a stacked (L, O, Kp) packed
+    base with a TRACED layer index — the scan-over-layers decode form. The
+    kernel indexes the stack via scalar prefetch so no per-layer weight
+    copy materialises at the XLA level (ops/pallas/q4_matmul.py stacked
+    notes). Callers build w4s/slt/sht once with pad_packed +
+    build_scale_strips (eval/generate.decode_params_from_scan)."""
+    from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
+        q4_matmul_t_stacked_pallas)
+    return q4_matmul_t_stacked_pallas(x, w4s, slt, sht, layer)
+
+
+def dequantize_stacked_layer_int4(w4s: jax.Array, s4s: jax.Array, layer,
+                                  dtype=jnp.bfloat16) -> jax.Array:
+    """Reconstruct layer `layer`'s (O, I) weight from a pad_packed stack
+    (grad/fallback path only — materialises the dense weight)."""
+    n = s4s.shape[-1]                       # 2 * kg (stacked => group 128)
+    k = (n // 2) * INT4_GROUP
+    w4 = jax.lax.dynamic_index_in_dim(w4s, layer, axis=0,
+                                      keepdims=False)[:, :k]
+    s4 = jax.lax.dynamic_index_in_dim(s4s, layer, axis=0, keepdims=False)
+    return dequantize_weight_int4(w4, s4, dtype)

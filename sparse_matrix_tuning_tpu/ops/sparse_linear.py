@@ -347,6 +347,33 @@ def _frozen_q4_bwd(res, g):
 frozen_q4_linear.defvjp(_frozen_q4_fwd, _frozen_q4_bwd)
 
 
+@jax.custom_vjp
+def frozen_q4_linear_stacked(x, w4s, slt, sht, s4s, l):
+    """Stacked-layer twin of frozen_q4_linear for the scan decode: the
+    (L, O, Kp) packed base is indexed at traced layer l inside the kernel
+    (scalar prefetch), so the scan body never slices the weights."""
+    from sparse_matrix_tuning_tpu.ops.quant import q4_matmul_t_stacked
+    return q4_matmul_t_stacked(x, w4s, slt, sht, l)
+
+
+def _frozen_q4s_fwd(x, w4s, slt, sht, s4s, l):
+    return (frozen_q4_linear_stacked(x, w4s, slt, sht, s4s, l),
+            (w4s, slt, sht, s4s, l))
+
+
+def _frozen_q4s_bwd(res, g):
+    from sparse_matrix_tuning_tpu.ops.quant import (
+        dequantize_stacked_layer_int4)
+    w4s, slt, sht, s4s, l = res
+    w = dequantize_stacked_layer_int4(w4s, s4s, l, g.dtype)
+    return (jnp.einsum("...o,oi->...i", g, w), _zero_cotangent(w4s),
+            jnp.zeros_like(slt), jnp.zeros_like(sht), jnp.zeros_like(s4s),
+            _zero_cotangent(l))
+
+
+frozen_q4_linear_stacked.defvjp(_frozen_q4s_fwd, _frozen_q4s_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Dynamic-index (scan-over-layers) matrix sparsity
 # ---------------------------------------------------------------------------
@@ -405,6 +432,12 @@ def _dyn_correction(out2, src2, delta_mats, idx_out, idx_in):
 
 
 def _base_matmul(x, wq_or_w):
+    if "w4s" in wq_or_w:
+        # stacked int4 decode base: traced layer index, scalar-prefetch
+        # block indexing — no per-layer weight copy at the XLA level
+        from sparse_matrix_tuning_tpu.ops.quant import q4_matmul_t_stacked
+        return q4_matmul_t_stacked(x, wq_or_w["w4s"], wq_or_w["slt"],
+                                   wq_or_w["sht"], wq_or_w["l"])
     if "w4" in wq_or_w:
         from sparse_matrix_tuning_tpu.ops.quant import q4_matmul_t
         return q4_matmul_t(x, wq_or_w["w4"], wq_or_w["s4"])
@@ -415,10 +448,16 @@ def _base_matmul(x, wq_or_w):
 
 
 def _base_matmul_T(g, wq_or_w):
+    # int4 is a DECODE-only base (training is compute-bound — CLAUDE.md);
+    # the grad paths exist for completeness and materialise the
+    # dequantized weight (off the hot path by construction).
+    if "w4s" in wq_or_w:
+        from sparse_matrix_tuning_tpu.ops.quant import (
+            dequantize_stacked_layer_int4)
+        w = dequantize_stacked_layer_int4(wq_or_w["w4s"], wq_or_w["s4s"],
+                                          wq_or_w["l"], g.dtype)
+        return jnp.einsum("...o,oi->...i", g, w)
     if "w4" in wq_or_w:
-        # int4 is a DECODE-only base (training is compute-bound — CLAUDE.md);
-        # the grad path exists for completeness and materialises the
-        # dequantized weight (off the hot path by construction).
         from sparse_matrix_tuning_tpu.ops.quant import dequantize_weight_int4
         w = dequantize_weight_int4(wq_or_w["w4"], wq_or_w["s4"], g.dtype)
         return jnp.einsum("...o,oi->...i", g, w)

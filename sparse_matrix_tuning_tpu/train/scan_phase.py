@@ -588,22 +588,32 @@ def make_scan_dispatch(impl: str, mode: str = "matrix"):
     other quantized modules the plain q8 path; everything else a dense
     matmul."""
     from sparse_matrix_tuning_tpu.ops.sparse_linear import (
-        frozen_q4_linear, smt_channel_linear_dyn)
+        frozen_q4_linear, frozen_q4_linear_stacked, smt_channel_linear_dyn)
 
     def linear_scan(x, w, module: str, ex):
+        q4s = ex.get("q4s", {}).get(module)
         qmod = ex.get("q", {}).get(module)
         t = ex["t"].get(module)
         if t is not None:
             meta = ex["idx"][module]
-            # qmod is {"wq","sw"} (int8) or {"w4","s4"} (int4 decode);
-            # smt_*_dyn dispatch the base matmul on the keys.
-            frozen = dict(qmod) if qmod is not None else {"w": w}
+            # frozen-base dict keys pick the matmul: {"w4s",...} stacked
+            # int4 (scan decode, scalar-prefetch layer index), {"w4","s4"}
+            # per-layer int4, {"wq","sw"} int8, {"w"} dense bf16.
+            if q4s is not None:
+                frozen = {**q4s, "l": ex["l"]}
+            elif qmod is not None:
+                frozen = dict(qmod)
+            else:
+                frozen = {"w": w}
             if mode == "channel":
                 return smt_channel_linear_dyn(impl, x, t, meta["ci"],
                                               meta["valid"], frozen,
                                               ex["base"][module])
             return smt_linear_dyn(impl, x, t, meta["rb"], meta["cb"],
                                   meta["valid"], frozen, ex["base"][module])
+        if q4s is not None:
+            return frozen_q4_linear_stacked(x, q4s["w4s"], q4s["slt"],
+                                            q4s["sht"], q4s["s4s"], ex["l"])
         if qmod is not None:
             if "w4" in qmod:
                 return frozen_q4_linear(x, qmod["w4"], qmod["s4"])

@@ -129,6 +129,32 @@ def test_eval_cli_q8_quantize_on_load(tiny_hf_dir, tmp_path):
     assert len(preds.read_text().strip().splitlines()) == 3
 
 
+def test_eval_cli_q4_quantize_on_load(tiny_hf_dir, tmp_path):
+    """--frozen_quant int4: quantize-on-load to int8, then requantize the
+    frozen base to the nibble-packed int4 layout (consume=True frees the
+    int8 copy) — the decode capacity/bandwidth path. Harness artifacts
+    match the q8 path's shape."""
+    from sparse_matrix_tuning_tpu.cli.run_commonsense import main
+    data_dir = tmp_path / "cs"
+    (data_dir / "boolq").mkdir(parents=True)
+    examples = [{"instruction": f"Is the sky blue? {i}", "answer": "true"}
+                for i in range(3)]
+    (data_dir / "boolq" / "test.json").write_text(json.dumps(examples))
+
+    results = main([
+        "--model_name_or_path", tiny_hf_dir,
+        "--data_path", str(data_dir),
+        "--datasets", "boolq",
+        "--output_dir", str(tmp_path / "eval_q4"),
+        "--per_device_eval_batch_size", "2",
+        "--max_new_tokens", "6", "--num_beams", "1",
+        "--dtype", "fp32", "--frozen_quant", "int4",
+    ])
+    assert "boolq" in results
+    preds = (tmp_path / "eval_q4" / "boolq" / "model_predictions.jsonl")
+    assert len(preds.read_text().strip().splitlines()) == 3
+
+
 def test_eval_cli_math_dataset(tiny_hf_dir, tmp_path):
     from sparse_matrix_tuning_tpu.cli.run_commonsense import main
     data_dir = tmp_path / "math"
@@ -211,3 +237,18 @@ def test_arg_parser_policy_knobs():
     with pytest.raises(SystemExit):
         p.parse_args(["--model_name_or_path", "m", "--data_path", "d.json",
                       "--head_quant", "fp4"])
+
+
+def test_eval_parser_kv_cache_knob():
+    """--kv_cache parses (auto/exact/int8) and routes cache_dtype."""
+    import pytest
+    from sparse_matrix_tuning_tpu.cli.run_commonsense import build_parser
+    p = build_parser()
+    a = p.parse_args(["--model_name_or_path", "m", "--data_path", "d",
+                      "--kv_cache", "int8"])
+    assert a.kv_cache == "int8"
+    assert build_parser().parse_args(
+        ["--model_name_or_path", "m", "--data_path", "d"]).kv_cache == "auto"
+    with pytest.raises(SystemExit):
+        p.parse_args(["--model_name_or_path", "m", "--data_path", "d",
+                      "--kv_cache", "fp8"])

@@ -175,3 +175,92 @@ def test_stacked_decode_matches_unstacked(hf_tiny):  # noqa: F811
         got_loop = generate(params, cfg, ids, mask, gen)
         got_scan = generate(stacked, cfg, ids, mask, gen)
         np.testing.assert_array_equal(got_loop, got_scan)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (cache_dtype="int8")
+# ---------------------------------------------------------------------------
+
+def _prefill_logits_cache(params, cfg, ids, mask, cache_dtype):
+    from sparse_matrix_tuning_tpu.models.llama import (
+        forward_with_cache, init_cache)
+    b, s = ids.shape
+    cache = init_cache(cfg, b, s, dtype=jnp.dtype(cache_dtype),
+                       stacked="layers_stacked" in params)
+    positions = np.maximum(np.cumsum(mask, axis=-1) - 1, 0)
+    logits, cache = forward_with_cache(
+        params, jnp.asarray(ids, jnp.int32), cfg, cache, 0,
+        jnp.asarray(mask, jnp.int32), jnp.asarray(positions, jnp.int32))
+    return np.asarray(logits), cache
+
+
+def test_int8_cache_layout(hf_tiny):  # noqa: F811
+    """init_cache dtype int8 builds the quantized layout (int8 k/v + fp32
+    per-slot-per-head scales) in both per-layer and stacked forms."""
+    from sparse_matrix_tuning_tpu.models.llama import init_cache
+    cfg = load_hf_config(hf_tiny[1])
+    c = init_cache(cfg, 2, 16, dtype=jnp.int8)
+    lay = c["0"]
+    assert lay["k"].dtype == jnp.int8 and lay["vs"].dtype == jnp.float32
+    assert lay["ks"].shape == lay["k"].shape[:-1] + (1,)
+    cs = init_cache(cfg, 2, 16, dtype=jnp.int8, stacked=True)
+    assert cs["k"].shape[0] == cfg.num_hidden_layers
+    assert cs["vs"].shape == cs["v"].shape[:-1] + (1,)
+
+
+def test_int8_cache_prefill_close_to_exact(hf_tiny):  # noqa: F811
+    """Prefill logits through the int8 KV cache stay within quantization
+    tolerance of the exact cache (error per K/V element <= scale/2 =
+    max|k|/254 per head), for both per-layer and stacked layouts."""
+    from sparse_matrix_tuning_tpu.eval.generate import prepare_decode_params
+    _, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids, mask = _left_padded_prompts(rng)
+
+    want, _ = _prefill_logits_cache(params, cfg, ids, mask, "float32")
+    got, cache = _prefill_logits_cache(params, cfg, ids, mask, "int8")
+    tol = 0.05 * (np.abs(want).max() + 1.0)
+    assert np.abs(got - want).max() < tol
+    # written slots actually carry quantized payloads
+    assert np.asarray(cache["0"]["ks"]).max() > 0
+
+    stacked = prepare_decode_params(params, cfg)
+    got_s, _ = _prefill_logits_cache(stacked, cfg, ids, mask, "int8")
+    np.testing.assert_allclose(got_s, got, rtol=2e-4, atol=2e-4)
+
+
+def test_int8_cache_generate_greedy_and_beam(hf_tiny):  # noqa: F811
+    """End-to-end generation with cache_dtype='int8' (greedy + beam-4,
+    per-layer and stacked): runs, emits valid ids, and greedy agrees with
+    the exact cache on a large majority of steps (argmax can legitimately
+    flip where the exact logits are near-tied)."""
+    from sparse_matrix_tuning_tpu.eval.generate import prepare_decode_params
+    _, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    ids, mask = _left_padded_prompts(rng)
+
+    gen_exact = GenerationConfig(max_new_tokens=12, num_beams=1,
+                                 eos_token_id=2, pad_token_id=0,
+                                 cache_dtype="float32")
+    gen_q = GenerationConfig(max_new_tokens=12, num_beams=1,
+                             eos_token_id=2, pad_token_id=0,
+                             cache_dtype="int8")
+    want = generate(params, cfg, ids, mask, gen_exact)
+    got = generate(params, cfg, ids, mask, gen_q)
+    assert got.shape == want.shape
+    agree = (got == want).mean()
+    assert agree >= 0.75, f"int8-cache greedy agreement {agree:.2f}"
+
+    stacked = prepare_decode_params(params, cfg)
+    got_s = generate(stacked, cfg, ids, mask, gen_q)
+    np.testing.assert_array_equal(got_s, got)
+
+    gen_b = GenerationConfig(max_new_tokens=6, num_beams=4, eos_token_id=2,
+                             pad_token_id=0, cache_dtype="int8")
+    out_b = generate(stacked, cfg, ids, mask, gen_b)
+    assert out_b.shape == (ids.shape[0], 6)
+    assert (out_b >= 0).all() and (out_b < cfg.vocab_size).all()

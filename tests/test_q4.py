@@ -4,7 +4,9 @@ matmul kernel (interpret mode on CPU), and the int4 DECODE path
 
   * split-half packing layout: packed col k = original cols (k, k + I/2);
   * per-group round-trip error bounded by s4/2;
-  * Pallas kernel == XLA reference bit-for-bit (both bf16 dot, fp32 accum);
+  * Pallas kernel == XLA reference up to fp32 accumulation order (both
+    compute integer-exact group dots with fp32 group scales — the fp32
+    dequant semantics the delta corrections are gathered against);
   * int4 prefill logits == a dense ORACLE built by scattering the trained
     blocks/columns into the dequantized int4 base (the selected weights are
     EXACT — only the frozen remainder carries int4 noise);
@@ -78,11 +80,12 @@ def test_ref_matmul_matches_dense():
     w = _rand_w(64, 512, seed=3)
     w4, s4 = quantize_weight_int4(w)
     x = _rand_w(8, 512, seed=4).astype(jnp.bfloat16)
-    wd = dequantize_weight_int4(w4, s4, jnp.bfloat16)
-    want = jnp.einsum("ti,oi->to", x, wd)
+    # fp64 oracle of the fp32-dequant semantics
+    wd = np.asarray(dequantize_weight_int4(w4, s4, jnp.float32), np.float64)
+    want = np.asarray(x, np.float64) @ wd.T
     got = q4_matmul_t_ref(x, w4, s4)
-    np.testing.assert_array_equal(np.asarray(got, np.float32),
-                                  np.asarray(want, np.float32))
+    np.testing.assert_allclose(np.asarray(got, np.float64), want,
+                               rtol=1e-2, atol=1e-2)  # bf16 output rounding
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +117,32 @@ def test_pallas_kernel_3d_batch():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_stacked_kernel_matches_per_layer_ref():
+    """q4_matmul_t_stacked (scalar-prefetch layer indexing, K-tile-padded
+    stack) == per-layer reference at every layer index."""
+    from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
+        build_scale_strips, pad_packed, q4_matmul_t_stacked_pallas)
+    L, o, i = 3, 128, 512
+    w4s, s4s = [], []
+    for l in range(L):
+        w4, s4 = quantize_weight_int4(_rand_w(o, i, seed=20 + l))
+        w4s.append(w4)
+        s4s.append(s4)
+    w4p = pad_packed(jnp.stack(w4s))
+    strips = [build_scale_strips(s4, i // 2) for s4 in s4s]
+    slt = jnp.stack([s[0] for s in strips])
+    sht = jnp.stack([s[1] for s in strips])
+    x = _rand_w(8, i, seed=30).astype(jnp.bfloat16)
+    for l in range(L):
+        got = q4_matmul_t_stacked_pallas(x, w4p, slt, sht,
+                                         jnp.int32(l))
+        want = q4_matmul_t_ref(x, w4s[l], s4s[l])
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"layer {l}")
+
+
 def test_dispatch_uses_ref_off_tpu():
     """q4_matmul_t must not invoke the (interpret-mode, slow) kernel on CPU."""
     w4, s4 = quantize_weight_int4(_rand_w(64, 512, seed=9))
@@ -131,10 +160,10 @@ def test_frozen_q4_linear_grad():
     wd = dequantize_weight_int4(w4, s4, jnp.float32)
     x = _rand_w(4, 512, seed=12)
     y, vjp = jax.vjp(lambda xx: frozen_q4_linear(xx, w4, s4), x)
-    want_y = jnp.einsum("ti,oi->to", x.astype(jnp.bfloat16),
-                        wd.astype(jnp.bfloat16))  # fwd computes in bf16
-    np.testing.assert_array_equal(np.asarray(y, np.float32),
-                                  np.asarray(want_y, np.float32))
+    want_y = jnp.einsum("ti,oi->to", x.astype(jnp.float32), wd)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(want_y, np.float32),
+                               rtol=1e-5, atol=1e-5)
     g = _rand_w(4, 64, seed=13)
     (gx,) = vjp(g)
     np.testing.assert_array_equal(np.asarray(gx), np.asarray(g @ wd))
@@ -290,3 +319,20 @@ def test_int4_channel_mode_matches_oracle():
                            batch["attention_mask"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_int4_generate_int8_kv_cache(q8_trainer):
+    """int4 frozen base x int8 quantized KV cache — the two decode
+    bandwidth levers compose in the same scan body."""
+    from sparse_matrix_tuning_tpu.eval.generate import (
+        GenerationConfig, decode_params_from_scan, generate)
+    t = q8_trainer
+    p4 = decode_params_from_scan(t.state, CFG, host_frozen=t._host_frozen,
+                                 frozen_quant="int4")
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, CFG.vocab_size, (2, 8)).astype(np.int32)
+    gen = GenerationConfig(max_new_tokens=4, num_beams=1, eos_token_id=2,
+                           pad_token_id=0, cache_dtype="int8")
+    out = generate(p4, CFG, prompt, np.ones_like(prompt), gen)
+    assert out.shape == (2, 4)
+    assert (out >= 0).all() and (out < CFG.vocab_size).all()

@@ -154,7 +154,16 @@ def main():
     del p_bf, dense_stacked
     t_q8 = bench_generate(p_q8, cfg8, "L=8  q8 corrected")
     print(f"L=8 int8-vs-bf16 decode speedup: {t_q8 / t_bf:.2f}x")
-    del p_q8, state, host
+    del p_q8
+    # int4 leg: nibble-packed frozen base, same exact selected blocks.
+    # consume=True frees each int8 module as it converts, so peak HBM
+    # stays bounded by the int8 state (the int4 copy is half its size).
+    p_q4 = decode_params_from_scan(state, cfg8, host_frozen=host,
+                                   frozen_quant="int4", consume=True)
+    t_q4 = bench_generate(p_q4, cfg8, "L=8  q4 corrected")
+    print(f"L=8 int4-vs-bf16 decode speedup: {t_q4 / t_bf:.2f}x "
+          f"(vs int8 {t_q4 / t_q8:.2f}x)")
+    del p_q4, state, host
 
     if "--skip-8b" in sys.argv:
         return
@@ -170,6 +179,11 @@ def main():
     # the eval harness default (beam-4 + repetition penalty): 4x the cache
     # and per-step compute, same weight traffic per step
     bench_generate(p, big, "8B   q8 beam-4   ", beams=4)
+    del p
+    p4 = decode_params_from_scan(state, big, host_frozen=host,
+                                 frozen_quant="int4", consume=True)
+    bench_generate(p4, big, "8B   q4 corrected")
+    bench_generate(p4, big, "8B   q4 beam-4   ", beams=4)
 
 
 if __name__ == "__main__":

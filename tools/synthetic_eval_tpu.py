@@ -136,6 +136,20 @@ def main():
         ])
         print(f"SYNTHETIC EVAL accuracy (int8 decode): "
               f"{res_q8['boolq']*100:.1f}% vs exact {acc*100:.1f}%")
+        # int4 frozen base + int8 KV cache: BOTH decode bandwidth levers
+        # at once — quality-parity evidence for the cheapest decode stack
+        # (PARITY.md D22; models/llama.init_cache int8 notes)
+        res_q4 = eval_main([
+            "--model_name_or_path", os.path.join(out, "final"),
+            "--data_path", os.path.join(work, "cs"),
+            "--datasets", "boolq",
+            "--output_dir", os.path.join(work, "eval_q4"),
+            "--per_device_eval_batch_size", "20",
+            "--max_new_tokens", "8", "--num_beams", "4",
+            "--frozen_quant", "int4", "--kv_cache", "int8",
+        ])
+        print(f"SYNTHETIC EVAL accuracy (int4 decode + int8 kv): "
+              f"{res_q4['boolq']*100:.1f}% vs exact {acc*100:.1f}%")
     # Bar: clearly above the 50% chance floor. Measured ceiling is model
     # capacity, not the pipeline: FULL fine-tuning of this 10M model
     # plateaus at the same ~0.2-0.4 loss / ~70% accuracy as the SMT run
