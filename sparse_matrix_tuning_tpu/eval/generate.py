@@ -63,6 +63,22 @@ def _scatter_seen(seen, tokens):
     return seen.at[rows.reshape(-1), tokens.reshape(-1)].set(True)
 
 
+# Prefill chunking: cap tokens per forward_with_cache call. Bounds the
+# prefill activation footprint (scores are B*chunk*max_len fp32) and the
+# per-program size — the axon AOT compile helper reproducibly dies on
+# one-shot prefill programs past ~28k total rows (b8 x p3840+; bisected in
+# tools/long_prompt_compile_probe.py). The chunks trace as identical
+# subcomputations inside the one jitted generate program.
+PREFILL_MAX_ROWS = 16384
+# Second cap: keep any materialised prefill scores buffer
+# (batch x heads x chunk x max_len fp32) under 2 GB. Past 4096 cache slots
+# XLA stops streaming-fusing the scores chain on this runtime and the
+# 8.6 GB buffer crashes the axon AOT compile helper (exact 4096/4097
+# boundary, tools/long_prompt_compile_probe.py) — and >2^31-byte buffers
+# are a compiler hazard everywhere.
+PREFILL_SCORES_ELEMS = 1 << 29
+
+
 def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
     p_len = input_ids.shape[1]
     max_len = p_len + gen.max_new_tokens
@@ -73,9 +89,23 @@ def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
     # last_only: full-prompt logits are b*p_len*V fp32 of discarded HBM
     # (8.4 GB at 8B/p2048) and ~p_len times the head matmul FLOPs
-    logits, cache = forward_with_cache(params, input_ids, model_cfg, cache,
-                                       0, slot_mask, positions,
-                                       last_only=True)
+    from sparse_matrix_tuning_tpu.models.llama import _use_cached_attn
+    if _use_cached_attn(model_cfg, max_len):
+        # Pallas cached-attention keeps scores VMEM-only — no materialised
+        # buffer to cap, so only the program-size rows cap applies
+        scores_cap = p_len
+    else:
+        scores_cap = PREFILL_SCORES_ELEMS // (
+            batch * model_cfg.num_attention_heads * max_len)
+    chunk = min(p_len, max(128, PREFILL_MAX_ROWS // batch),
+                max(128, scores_cap))
+    for s in range(0, p_len, chunk):
+        e = min(s + chunk, p_len)
+        # full slot_mask is safe mid-prompt: the causal term restricts
+        # chunk token i to slots <= s + i < e, all already written
+        logits, cache = forward_with_cache(
+            params, input_ids[:, s:e], model_cfg, cache, s, slot_mask,
+            positions[:, s:e], last_only=True)
     last_logits = logits[:, -1, :]  # left padding -> last slot is real
     real_len = attention_mask.sum(axis=-1).astype(jnp.int32)  # (B,)
     seen = jnp.zeros((batch, model_cfg.vocab_size), bool)

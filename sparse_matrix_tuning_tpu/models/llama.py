@@ -521,15 +521,22 @@ def init_cache(cfg: LlamaConfig, batch_size: int, max_len: int,
     decode path.
 
     dtype int8 builds the QUANTIZED cache layout instead: int8 k/v plus
-    per-(slot, head) fp32 "ks"/"vs" scale leaves (..., max_len, Hkv, 1).
-    Long-context decode reads the whole cache every step, so the int8 form
-    halves that HBM traffic and doubles the context that fits a chip; new
-    slots are quantized symmetrically per head at write time and dequantized
-    in-register at attention (the dense K/V tile never lands in HBM). The
-    reference has no KV-cache story at all (eval reloads HF generate)."""
+    per-(slot, head) fp32 "ks"/"vs" scale leaves, stored TRANSPOSED as
+    (..., Hkv, max_len) so the cached-attention kernel can take them as
+    (1, S) lane blocks (Mosaic rejects lane dims < 128). Long-context
+    decode reads the whole cache every step, so the int8 form halves that
+    HBM traffic and doubles the context that fits a chip; new slots are
+    quantized symmetrically per head at write time and dequantized at
+    attention — in-kernel via score/prob column scales on the TPU path
+    (ops/pallas/cached_attention.py), in-register on the einsum fallback.
+    The reference has no KV-cache story at all (eval reloads HF generate)."""
     hd = cfg.head_dim
-    shape = (batch_size, max_len, cfg.num_key_value_heads, hd)
-    sshape = shape[:-1] + (1,)
+    # K/V stored (B, Hkv, S, hd): Mosaic constrains the LAST TWO dims of a
+    # pallas block, so the kernel's per-kv-head full-S blocks need Hkv
+    # ahead of (S, hd); scales get a singleton sublane dim for the same
+    # reason ((1, S) lane blocks)
+    shape = (batch_size, cfg.num_key_value_heads, max_len, hd)
+    sshape = (batch_size, cfg.num_key_value_heads, 1, max_len)
     if stacked:
         shape = (cfg.num_hidden_layers,) + shape
         sshape = (cfg.num_hidden_layers,) + sshape
@@ -568,22 +575,100 @@ def cache_batch_axis(params: Mapping[str, Any]) -> int:
 
 
 def _quant_kv(t):
-    """Symmetric per-(slot, head) int8 quantization of a K/V slice
-    (B, S_new, Hkv, hd) -> (int8 values, fp32 scales (B, S_new, Hkv, 1))."""
+    """Symmetric per-(slot, head) int8 quantization of a K/V slice in
+    cache axes (B, Hkv, S_new, hd) -> (int8 values, fp32 scales
+    (B, Hkv, 1, S_new) — the kernel-facing storage layout, init_cache)."""
     t32 = t.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(t32), axis=-1, keepdims=True) / 127.0,
                     1e-10)
-    return jnp.round(t32 / s).astype(jnp.int8), s
+    # values already (B, Hkv, S_new, hd); scales -> (B, Hkv, 1, S_new)
+    return (jnp.round(t32 / s).astype(jnp.int8),
+            s[..., 0][:, :, None, :])
+
+
+def _kv_write(kv, k, v, cache_index, stack_layer=None):
+    """Write the new K/V slice (quantizing when the cache layout is int8).
+    kv: per-layer buffers, or full (L, ...) stacks when stack_layer is a
+    traced layer index (the cache-as-scan-carry form: only the new slot is
+    written, so XLA updates the carried stack in place — per-layer xs/ys
+    caches cost a slice + a write-back copy of the WHOLE layer buffer per
+    step, ~110us/layer at p1024, the dominant long-context decode cost)."""
+    if stack_layer is None:
+        at = (0, 0, cache_index, 0)      # K/V: (B, Hkv, S, hd)
+        sat = (0, 0, 0, cache_index)     # scales: (B, Hkv, 1, S)
+        lift = lambda t: t
+    else:
+        at = (stack_layer, 0, 0, cache_index, 0)
+        sat = (stack_layer, 0, 0, 0, cache_index)
+        lift = lambda t: t[None]
+    k = k.transpose(0, 2, 1, 3)          # (B, s_new, Hkv, hd) -> cache axes
+    v = v.transpose(0, 2, 1, 3)
+    if "ks" in kv:
+        ki, ks_new = _quant_kv(k)
+        vi, vs_new = _quant_kv(v)
+        return {"k": jax.lax.dynamic_update_slice(kv["k"], lift(ki), at),
+                "v": jax.lax.dynamic_update_slice(kv["v"], lift(vi), at),
+                "ks": jax.lax.dynamic_update_slice(kv["ks"], lift(ks_new),
+                                                   sat),
+                "vs": jax.lax.dynamic_update_slice(kv["vs"], lift(vs_new),
+                                                   sat)}
+    return {"k": jax.lax.dynamic_update_slice(
+                kv["k"], lift(k.astype(kv["k"].dtype)), at),
+            "v": jax.lax.dynamic_update_slice(
+                kv["v"], lift(v.astype(kv["v"].dtype)), at)}
+
+
+def _kv_read(kv, q_dtype, x_dtype, stack_layer=None):
+    """Dequantized (k_all, v_all) for the EINSUM fallback attention; with
+    stack_layer, slice layer `stack_layer` out of the carried stacks (the
+    slice feeds only elementwise casts + the attention dots, which XLA
+    fuses — no materialised copy)."""
+    if stack_layer is None:
+        k, v = kv["k"], kv["v"]
+        ks, vs = kv.get("ks"), kv.get("vs")
+    else:
+        pick = lambda t: jax.lax.dynamic_index_in_dim(t, stack_layer, 0,
+                                                      keepdims=False)
+        k, v = pick(kv["k"]), pick(kv["v"])
+        ks = pick(kv["ks"]) if "ks" in kv else None
+        vs = pick(kv["vs"]) if "vs" in kv else None
+    k_all = k.astype(q_dtype)            # (B, Hkv, S, hd)
+    v_all = v.astype(x_dtype)
+    if ks is not None:
+        # scales (B, Hkv, 1, S) -> (B, Hkv, S, 1), broadcast over hd
+        k_all = k_all * ks[..., 0, :][..., None].astype(q_dtype)
+        v_all = v_all * vs[..., 0, :][..., None].astype(x_dtype)
+    return k_all, v_all
+
+
+# test hook: force the cached-attention kernel (interpret mode) off-TPU
+_FORCE_CACHED_ATTN = False
+
+
+def _use_cached_attn(cfg: LlamaConfig, max_len: int) -> bool:
+    from sparse_matrix_tuning_tpu.ops.pallas.cached_attention import supported
+    if not supported(cfg.head_dim, max_len, cfg.num_attention_heads,
+                     cfg.num_key_value_heads):
+        return False
+    return _FORCE_CACHED_ATTN or jax.devices()[0].platform == "tpu"
 
 
 def _cached_layer(lp, x, kv_old, cache_index, mask_bias, cos, sin,
-                  cfg: LlamaConfig, linear, layer_idx: int):
+                  cfg: LlamaConfig, linear, layer_idx: int,
+                  stack_layer=None, slot_mask=None):
     """One decoder layer in incremental-decode form; returns (x, kv_new).
 
     kv_old: {"k","v"} ring buffers, plus {"ks","vs"} per-(slot, head) fp32
     scales when the cache is int8-quantized (init_cache dtype int8) — the
     cache READ is then half the bytes and the dense K/V tiles exist only
-    in-register after the fused dequant."""
+    in-register after the fused dequant. With stack_layer (a traced layer
+    index), kv_old holds the FULL (L, ...) stacks carried through the
+    layer scan (see _kv_write).
+
+    Attention runs in the cached-attention Pallas kernel when shapes
+    conform and slot_mask is given (scores stay VMEM-only, mask computed
+    in-kernel — ops/pallas/cached_attention.py); the masked einsum is the
+    exact fallback."""
     b, s_new, _ = x.shape
     h = _rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
     q = _lin(lp, h, "q_proj", linear, layer_idx).reshape(
@@ -595,33 +680,27 @@ def _cached_layer(lp, x, kv_old, cache_index, mask_bias, cos, sin,
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
 
-    quant = "ks" in kv_old
-    at = (0, cache_index, 0, 0)
-    if quant:
-        ki, ks_new = _quant_kv(k)
-        vi, vs_new = _quant_kv(v)
-        kv = {"k": jax.lax.dynamic_update_slice(kv_old["k"], ki, at),
-              "v": jax.lax.dynamic_update_slice(kv_old["v"], vi, at),
-              "ks": jax.lax.dynamic_update_slice(kv_old["ks"], ks_new, at),
-              "vs": jax.lax.dynamic_update_slice(kv_old["vs"], vs_new, at)}
-        k_all = kv["k"].astype(q.dtype) * kv["ks"].astype(q.dtype)
-        v_all = kv["v"].astype(x.dtype) * kv["vs"].astype(x.dtype)
-    else:
-        kv = {"k": jax.lax.dynamic_update_slice(
-                  kv_old["k"], k.astype(kv_old["k"].dtype), at),
-              "v": jax.lax.dynamic_update_slice(
-                  kv_old["v"], v.astype(kv_old["v"].dtype), at)}
-        k_all = kv["k"].astype(q.dtype)
-        v_all = kv["v"].astype(x.dtype)
+    kv = _kv_write(kv_old, k, v, cache_index, stack_layer)
+    max_len = kv["k"].shape[-2]
 
-    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
-    groups = hq // hkv
-    qg = q.reshape(b, s_new, hkv, groups, cfg.head_dim)
-    scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k_all).astype(jnp.float32)
-    scores = scores / np.sqrt(cfg.head_dim) + mask_bias[:, None, None, :, :]
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    attn = jnp.einsum("bkgqs,bskd->bqkgd", probs, v_all)
-    attn = attn.reshape(b, s_new, hq * cfg.head_dim)
+    if slot_mask is not None and _use_cached_attn(cfg, max_len):
+        from sparse_matrix_tuning_tpu.ops.pallas.cached_attention import (
+            cached_attention)
+        attn = cached_attention(q, kv, slot_mask, cache_index,
+                                layer=stack_layer)
+        attn = attn.astype(x.dtype).reshape(b, s_new, -1)
+    else:
+        k_all, v_all = _kv_read(kv, q.dtype, x.dtype, stack_layer)
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        groups = hq // hkv
+        qg = q.reshape(b, s_new, hkv, groups, cfg.head_dim)
+        scores = jnp.einsum("bqkgd,bksd->bkgqs", qg,
+                            k_all).astype(jnp.float32)
+        scores = (scores / np.sqrt(cfg.head_dim)
+                  + mask_bias[:, None, None, :, :])
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bkgqs,bksd->bqkgd", probs, v_all)
+        attn = attn.reshape(b, s_new, -1)
     x = x + _lin(lp, attn, "o_proj", linear, layer_idx)
 
     h = _rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -693,40 +772,50 @@ def forward_with_cache(params: Mapping[str, Any], input_ids: jax.Array,
         ex_scan["q"] = {m: q for m, q in q_all.items() if "w4p" not in q}
         n_layers = cfg.num_hidden_layers
 
-        def body(x, scanned):
-            lp, ex, l, kv_old = scanned
+        # cache rides as the scan CARRY (full stacks, in-place slot
+        # updates), NOT as xs/ys: per-layer xs slicing + ys write-back
+        # copies the whole layer cache twice per step (~110us/layer at
+        # p1024 — profiled, tools/decode_profile.py).
+        def body(carry, scanned):
+            x, kvc = carry
+            lp, ex, l = scanned
             ex = dict(ex)
             ex["q4s"] = q4_stacks
             ex["l"] = l
             lin = lambda xx, w, module, li: lin_scan(xx, w, module, ex)
-            x, kv = _cached_layer(lp, x, kv_old, cache_index,
-                                  mask_bias, cos, sin, cfg, lin, 0)
-            return x, kv
+            x, kvc = _cached_layer(lp, x, kvc, cache_index,
+                                   mask_bias, cos, sin, cfg, lin, 0,
+                                   stack_layer=l, slot_mask=slot_mask)
+            return (x, kvc), None
 
-        x, new_cache = jax.lax.scan(
-            body, x,
+        (x, new_cache), _ = jax.lax.scan(
+            body, (x, cache),
             (params["layers_stacked"], ex_scan,
-             jnp.arange(n_layers, dtype=jnp.int32), cache))
+             jnp.arange(n_layers, dtype=jnp.int32)))
     elif "layers_stacked" in params:
         assert linear is default_linear, \
             "scan-over-layers decode supports dense linears only"
 
-        def body(x, scanned):
-            lp, kv_old = scanned
-            x, kv = _cached_layer(lp, x, kv_old, cache_index,
-                                  mask_bias, cos, sin, cfg,
-                                  default_linear, 0)
-            return x, kv
+        def body(carry, scanned):
+            x, kvc = carry
+            lp, l = scanned
+            x, kvc = _cached_layer(lp, x, kvc, cache_index,
+                                   mask_bias, cos, sin, cfg,
+                                   default_linear, 0, stack_layer=l,
+                                   slot_mask=slot_mask)
+            return (x, kvc), None
 
-        x, new_cache = jax.lax.scan(
-            body, x, (params["layers_stacked"], cache))
+        (x, new_cache), _ = jax.lax.scan(
+            body, (x, cache),
+            (params["layers_stacked"],
+             jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)))
     else:
         new_cache = {}
         for i in range(cfg.num_hidden_layers):
             li = str(i)
             x, kv = _cached_layer(params["layers"][li], x, cache[li],
                                   cache_index, mask_bias, cos, sin, cfg,
-                                  linear, i)
+                                  linear, i, slot_mask=slot_mask)
             new_cache[li] = kv
 
     if last_only:

@@ -169,13 +169,34 @@ def q4_matmul_t_ref(x: jax.Array, w4: jax.Array, s4: jax.Array) -> jax.Array:
                       w).astype(x.dtype)
 
 
+# Above this many rows the matmul is compute-bound and belongs on the MXU:
+# dequantize the layer (a transient) and run a dense bf16 einsum instead of
+# the VPU-unpacking Pallas kernel (profiled ~10x off MXU pace at p1024
+# prefill — it is a decode-shape design). Decode calls are batch*beams
+# rows (<= 32 in practice); prefill calls are batch*prompt (>= hundreds).
+Q4_DECODE_MAX_ROWS = 64
+
+
+def _q4_rows(x: jax.Array) -> int:
+    n = 1
+    for d in x.shape[:-1]:
+        n *= d
+    return n
+
+
 def q4_matmul_t(x: jax.Array, w4: jax.Array, s4: jax.Array) -> jax.Array:
     """y = x @ dequant4(W).T: fused unpack+dequant+matmul Pallas kernel on
-    TPU when the shapes tile (the decode regime), XLA reference otherwise."""
+    TPU at decode row counts (the bandwidth-bound regime the kernel is
+    for), dequant + MXU einsum at prefill row counts, XLA reference when
+    the shapes don't tile."""
     i2 = w4.shape[1]
     if (jax.devices()[0].platform == "tpu" and i2 % INT4_GROUP == 0
             and s4.shape[1] == 2 * (i2 // INT4_GROUP)
             and w4.shape[0] % 128 == 0):
+        if _q4_rows(x) > Q4_DECODE_MAX_ROWS:
+            w = dequantize_weight_int4(w4, s4, jnp.bfloat16)
+            return jnp.einsum("...i,oi->...o", x.astype(jnp.bfloat16),
+                              w).astype(x.dtype)
         from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
             q4_matmul_t_pallas)
         return q4_matmul_t_pallas(x, w4, s4)
@@ -183,13 +204,21 @@ def q4_matmul_t(x: jax.Array, w4: jax.Array, s4: jax.Array) -> jax.Array:
 
 
 def q4_matmul_t_stacked(x: jax.Array, w4s: jax.Array, slt: jax.Array,
-                        sht: jax.Array, layer) -> jax.Array:
+                        sht: jax.Array, layer, s4s=None) -> jax.Array:
     """y = x @ dequant4(W[layer]).T against a stacked (L, O, Kp) packed
     base with a TRACED layer index — the scan-over-layers decode form. The
     kernel indexes the stack via scalar prefetch so no per-layer weight
     copy materialises at the XLA level (ops/pallas/q4_matmul.py stacked
     notes). Callers build w4s/slt/sht once with pad_packed +
-    build_scale_strips (eval/generate.decode_params_from_scan)."""
+    build_scale_strips (eval/generate.decode_params_from_scan).
+
+    At prefill row counts (> Q4_DECODE_MAX_ROWS) with s4s provided, the
+    layer is dequantized to bf16 and run on the MXU instead (same rationale
+    as q4_matmul_t; the transient weight is one layer, not the stack)."""
+    if s4s is not None and _q4_rows(x) > Q4_DECODE_MAX_ROWS:
+        w = dequantize_stacked_layer_int4(w4s, s4s, layer, jnp.bfloat16)
+        return jnp.einsum("...i,oi->...o", x.astype(jnp.bfloat16),
+                          w).astype(x.dtype)
     from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
         q4_matmul_t_stacked_pallas)
     return q4_matmul_t_stacked_pallas(x, w4s, slt, sht, layer)

@@ -353,7 +353,7 @@ def frozen_q4_linear_stacked(x, w4s, slt, sht, s4s, l):
     (L, O, Kp) packed base is indexed at traced layer l inside the kernel
     (scalar prefetch), so the scan body never slices the weights."""
     from sparse_matrix_tuning_tpu.ops.quant import q4_matmul_t_stacked
-    return q4_matmul_t_stacked(x, w4s, slt, sht, l)
+    return q4_matmul_t_stacked(x, w4s, slt, sht, l, s4s=s4s)
 
 
 def _frozen_q4s_fwd(x, w4s, slt, sht, s4s, l):
@@ -435,9 +435,11 @@ def _base_matmul(x, wq_or_w):
     if "w4s" in wq_or_w:
         # stacked int4 decode base: traced layer index, scalar-prefetch
         # block indexing — no per-layer weight copy at the XLA level
+        # (s4s routes prefill row counts to dequant + MXU)
         from sparse_matrix_tuning_tpu.ops.quant import q4_matmul_t_stacked
         return q4_matmul_t_stacked(x, wq_or_w["w4s"], wq_or_w["slt"],
-                                   wq_or_w["sht"], wq_or_w["l"])
+                                   wq_or_w["sht"], wq_or_w["l"],
+                                   s4s=wq_or_w.get("s4s"))
     if "w4" in wq_or_w:
         from sparse_matrix_tuning_tpu.ops.quant import q4_matmul_t
         return q4_matmul_t(x, wq_or_w["w4"], wq_or_w["s4"])

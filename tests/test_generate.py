@@ -202,10 +202,13 @@ def test_int8_cache_layout(hf_tiny):  # noqa: F811
     c = init_cache(cfg, 2, 16, dtype=jnp.int8)
     lay = c["0"]
     assert lay["k"].dtype == jnp.int8 and lay["vs"].dtype == jnp.float32
-    assert lay["ks"].shape == lay["k"].shape[:-1] + (1,)
+    # K/V stored (B, Hkv, S, hd); scales (B, Hkv, 1, S) — the Pallas
+    # cached-attention kernel's block layouts (models/llama.init_cache)
+    b, hkv, s, _ = lay["k"].shape
+    assert lay["ks"].shape == (b, hkv, 1, s)
     cs = init_cache(cfg, 2, 16, dtype=jnp.int8, stacked=True)
     assert cs["k"].shape[0] == cfg.num_hidden_layers
-    assert cs["vs"].shape == cs["v"].shape[:-1] + (1,)
+    assert cs["vs"].shape == (cfg.num_hidden_layers, b, hkv, 1, s)
 
 
 def test_int8_cache_prefill_close_to_exact(hf_tiny):  # noqa: F811
@@ -264,3 +267,38 @@ def test_int8_cache_generate_greedy_and_beam(hf_tiny):  # noqa: F811
     out_b = generate(stacked, cfg, ids, mask, gen_b)
     assert out_b.shape == (ids.shape[0], 6)
     assert (out_b >= 0).all() and (out_b < cfg.vocab_size).all()
+
+
+def test_chunked_prefill_matches_unchunked(hf_tiny, monkeypatch):  # noqa: F811
+    """Prefill chunking (PREFILL_MAX_ROWS / PREFILL_SCORES_ELEMS caps) must
+    not change generation: chunk boundaries only reorder when K/V slots are
+    written, never what each token attends to."""
+    import importlib
+    G = importlib.import_module("sparse_matrix_tuning_tpu.eval.generate")
+    _, d = hf_tiny
+    cfg = load_hf_config(d)
+    params = load_hf_params(d, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    ids, mask = _left_padded_prompts(rng, lens=(9, 12, 7), pmax=12)
+
+    gen = GenerationConfig(max_new_tokens=8, num_beams=1, eos_token_id=2,
+                           pad_token_id=0, cache_dtype="float32")
+    want = generate(params, cfg, ids, mask, gen)
+
+    from sparse_matrix_tuning_tpu.eval import _beam_impl
+
+    # force 4-token chunks (3 chunks over the 12-slot prompt)
+    monkeypatch.setattr(G, "PREFILL_MAX_ROWS", 4 * ids.shape[0])
+    G._greedy.clear_cache()
+    _beam_impl.beam_search.clear_cache()
+    got = generate(params, cfg, ids, mask, gen)
+    np.testing.assert_array_equal(got, want)
+
+    gen_b = GenerationConfig(max_new_tokens=6, num_beams=4, eos_token_id=2,
+                             pad_token_id=0, cache_dtype="float32")
+    got_b = generate(params, cfg, ids, mask, gen_b)
+    monkeypatch.setattr(G, "PREFILL_MAX_ROWS", 16384)
+    G._greedy.clear_cache()
+    _beam_impl.beam_search.clear_cache()
+    want_b = generate(params, cfg, ids, mask, gen_b)
+    np.testing.assert_array_equal(got_b, want_b)

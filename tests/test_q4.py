@@ -336,3 +336,30 @@ def test_int4_generate_int8_kv_cache(q8_trainer):
     out = generate(p4, CFG, prompt, np.ones_like(prompt), gen)
     assert out.shape == (2, 4)
     assert (out >= 0).all() and (out < CFG.vocab_size).all()
+
+
+def test_q4_prefill_rows_route_to_mxu():
+    """Above Q4_DECODE_MAX_ROWS the dispatch dequantizes and uses a dense
+    einsum (MXU at prefill shapes) — numerics stay within bf16 tolerance
+    of the fp32 oracle, for both the flat and stacked forms."""
+    from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
+        build_scale_strips, pad_packed)
+    from sparse_matrix_tuning_tpu.ops.quant import (
+        Q4_DECODE_MAX_ROWS, q4_matmul_t, q4_matmul_t_stacked)
+    o, i = 128, 512
+    w4, s4 = quantize_weight_int4(_rand_w(o, i, seed=40))
+    t = Q4_DECODE_MAX_ROWS + 8
+    x = _rand_w(t, i, seed=41).astype(jnp.bfloat16)
+    want = q4_matmul_t_ref(x, w4, s4)
+    got = q4_matmul_t(x, w4, s4)
+    # bf16 dequant + bf16 accumulation noise scales with the output
+    # magnitude; the routing (not exactness) is what's under test
+    tol = 0.02 * float(np.abs(np.asarray(want, np.float32)).max()) + 1e-3
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=tol)
+    w4p = pad_packed(w4[None])
+    slt, sht = build_scale_strips(s4, i // 2)
+    got_s = q4_matmul_t_stacked(x, w4p, slt[None], sht[None],
+                                jnp.int32(0), s4s=s4[None])
+    np.testing.assert_allclose(np.asarray(got_s, np.float32),
+                               np.asarray(want, np.float32), atol=tol)

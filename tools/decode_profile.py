@@ -36,9 +36,18 @@ def main():
                       num_attention_heads=32, num_key_value_heads=8,
                       max_position_embeddings=8192, tie_word_embeddings=True)
     state, host = synth_q8_state(cfg)
-    params = decode_params_from_scan(state, cfg, host_frozen=host,
-                                     frozen_quant=quant,
-                                     consume=(quant == "int4"))
+    if quant == "bf16":
+        from sparse_matrix_tuning_tpu.ops.quant import dequantize_weight
+        dense = dict(state["params"]["layers_stacked"])
+        for mod, qm in state["q"].items():
+            dense[mod] = jax.vmap(dequantize_weight)(qm["wq"], qm["sw"])
+        params = dict(state["params"])
+        params["layers_stacked"] = dense
+        del state
+    else:
+        params = decode_params_from_scan(state, cfg, host_frozen=host,
+                                         frozen_quant=quant,
+                                         consume=(quant == "int4"))
     rng = np.random.default_rng(0)
     ids = rng.integers(10, cfg.vocab_size - 10, (B, prompt)).astype(np.int32)
     mask = np.ones_like(ids)

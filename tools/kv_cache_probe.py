@@ -36,25 +36,35 @@ B, NEW = 8, 128
 
 
 def bench_decode(params, cfg, prompt_len, cache_dtype, label, beams=1):
+    """Times a full generate AND a short one: the difference isolates pure
+    decode steps from the (one-time per request) prefill, which otherwise
+    dominates tok/s at long prompts and hides decode regressions."""
     rng = np.random.default_rng(0)
     ids = rng.integers(10, cfg.vocab_size - 10, (B, prompt_len)).astype(np.int32)
     mask = np.ones_like(ids)
-    gen = GenerationConfig(max_new_tokens=NEW, num_beams=beams,
-                           eos_token_id=-1, pad_token_id=0,
-                           cache_dtype=cache_dtype)
-    t0 = time.perf_counter()
-    out = generate(params, cfg, ids, mask, gen)
-    compile_s = time.perf_counter() - t0
-    assert out.shape == (B, NEW)
-    t0 = time.perf_counter()
-    out = generate(params, cfg, ids, mask, gen)
-    dt = time.perf_counter() - t0
-    toks = B * NEW / dt
-    ms = dt / NEW * 1e3
-    print(f"{label}: {toks:7.1f} tok/s ({ms:.2f} ms/step, prompt {prompt_len}, "
-          f"cache {cache_dtype}, compile {compile_s:.0f}s, "
+
+    def run(new):
+        gen = GenerationConfig(max_new_tokens=new, num_beams=beams,
+                               eos_token_id=-1, pad_token_id=0,
+                               cache_dtype=cache_dtype)
+        t0 = time.perf_counter()
+        out = generate(params, cfg, ids, mask, gen)
+        compile_s = time.perf_counter() - t0
+        assert out.shape == (B, new)
+        t0 = time.perf_counter()
+        generate(params, cfg, ids, mask, gen)
+        return time.perf_counter() - t0, compile_s
+
+    t_short, c1 = run(8)
+    t_full, c2 = run(NEW)
+    dec_ms = (t_full - t_short) / (NEW - 8) * 1e3
+    prefill_ms = max(t_short * 1e3 - 8 * dec_ms, 0.0)
+    toks = B * NEW / t_full
+    print(f"{label}: {toks:7.1f} tok/s e2e | decode {dec_ms:6.2f} ms/step | "
+          f"prefill {prefill_ms:7.1f} ms (prompt {prompt_len}, cache "
+          f"{cache_dtype}, compile {c1 + c2:.0f}s, "
           f"live HBM {live_hbm_bytes() / 2**30:.2f} GB)")
-    return toks
+    return dec_ms
 
 
 def main():
@@ -71,7 +81,8 @@ def main():
                             f"L=8 p{p_len:4d} bf16-cache")
         t_q = bench_decode(params, cfg, p_len, "int8",
                            f"L=8 p{p_len:4d} int8-cache")
-        print(f"  -> int8-cache speedup at prompt {p_len}: {t_q / t_bf:.2f}x")
+        print(f"  -> int8-cache DECODE speedup at prompt {p_len}: "
+              f"{t_bf / t_q:.2f}x")
     del params
 
     if "--skip-8b" in sys.argv:
@@ -87,7 +98,8 @@ def main():
     del state
     t_bf = bench_decode(p, big, 2048, "bfloat16", "8B  p2048 bf16-cache")
     t_q = bench_decode(p, big, 2048, "int8", "8B  p2048 int8-cache")
-    print(f"  -> 8B int8-cache speedup at prompt 2048: {t_q / t_bf:.2f}x")
+    print(f"  -> 8B int8-cache DECODE speedup at prompt 2048: "
+          f"{t_bf / t_q:.2f}x")
 
 
 if __name__ == "__main__":
