@@ -644,13 +644,28 @@ def _kv_read(kv, q_dtype, x_dtype, stack_layer=None):
 # test hook: force the cached-attention kernel (interpret mode) off-TPU
 _FORCE_CACHED_ATTN = False
 
+# auto-policy slot threshold: median-of-3 A/B on the v5e (8B geometry,
+# SMT_CACHED_ATTN switch) — einsum decode 11.3/10.8/12.2 ms/step at
+# 256/1024/2048 slots vs kernel 14.0/11.9/6.9: the kernel's per-program
+# grid overhead (B*Hkv programs x L layers) dominates below ~2k slots
+# where the einsum's materialised scores are still small, and the kernel
+# wins past it (scores never in HBM + in-kernel int8 dequant).
+CACHED_ATTN_MIN_SLOTS = 2048
+
 
 def _use_cached_attn(cfg: LlamaConfig, max_len: int) -> bool:
+    import os
     from sparse_matrix_tuning_tpu.ops.pallas.cached_attention import supported
+    mode = os.environ.get("SMT_CACHED_ATTN", "auto")  # auto|on|off (A/B)
+    if mode == "off":
+        return False
     if not supported(cfg.head_dim, max_len, cfg.num_attention_heads,
                      cfg.num_key_value_heads):
         return False
-    return _FORCE_CACHED_ATTN or jax.devices()[0].platform == "tpu"
+    if _FORCE_CACHED_ATTN or mode == "on":
+        return True
+    return (jax.devices()[0].platform == "tpu"
+            and max_len >= CACHED_ATTN_MIN_SLOTS)
 
 
 def _cached_layer(lp, x, kv_old, cache_index, mask_bias, cos, sin,
