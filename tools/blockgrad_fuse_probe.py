@@ -40,13 +40,27 @@ BLOCK = 256
 ITERS = 20
 
 
-def timed(fn, *args, label=""):
-    out = jax.block_until_ready(fn(*args))  # compile
+def timed(fn, g, x, wq, sw, rb, cb, label=""):
+    """ITERS data-chained invocations inside ONE jit, closed with a host
+    transfer (CLAUDE.md: per-call timing over the tunnel is unreliable;
+    unchained calls get coalesced/DCE'd and report garbage)."""
+    @jax.jit
+    def chain(g, x, wq, sw, rb, cb):
+        def it(gc, _):
+            out = fn(gc, x, wq, sw, rb, cb)
+            y = out[0] if isinstance(out, tuple) else out
+            # fold a scalar of the result back into g (bounded, chained)
+            delta = jnp.tanh(jnp.sum(y.astype(jnp.float32)) * 1e-12)
+            if isinstance(out, tuple):  # also consume the second output
+                delta = delta + jnp.tanh(
+                    jnp.sum(out[1].astype(jnp.float32)) * 1e-12)
+            return gc + (delta * 1e-6).astype(gc.dtype), ()
+        gc, _ = jax.lax.scan(it, g, None, length=ITERS)
+        return jnp.sum(gc.astype(jnp.float32))
+
+    _ = float(chain(g, x, wq, sw, rb, cb))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    # host transfer forces real completion through the tunnel
-    _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out).astype(jnp.float32))
+    v = float(chain(g, x, wq, sw, rb, cb))
     dt = (time.perf_counter() - t0) / ITERS * 1e3
     print(f"  {label:34s} {dt:7.3f} ms")
     return dt
