@@ -55,6 +55,14 @@ def build_parser():
                         "long-context lever; exact: cache in --dtype; "
                         "auto (default) = exact (opt in to int8 per run)")
     p.add_argument("--seed", type=int, default=1234)
+    # Sampling (serving surface; the reference harness is do_sample=False —
+    # run_commonsense_parallel.py:257-265 — so accuracy runs leave these off)
+    p.add_argument("--do_sample", action="store_true",
+                   help="ancestral sampling instead of greedy/beam "
+                        "(requires --num_beams 1)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=0, help="0 disables")
+    p.add_argument("--top_p", type=float, default=1.0, help="1.0 disables")
     return p
 
 
@@ -110,7 +118,9 @@ def main(argv=None):
         eos_token_id=tokenizer.eos_token_id,
         pad_token_id=tokenizer.pad_token_id or 0,
         cache_dtype=("int8" if args.kv_cache == "int8"
-                     else "bfloat16" if args.dtype == "bf16" else "float32"))
+                     else "bfloat16" if args.dtype == "bf16" else "float32"),
+        do_sample=args.do_sample, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p, seed=args.seed)
     generate_fn = make_generate_fn(params, model_cfg, tokenizer, gen_cfg,
                                    batch_size=args.per_device_eval_batch_size)
 

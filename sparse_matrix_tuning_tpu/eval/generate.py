@@ -1,5 +1,6 @@
-"""Batched autoregressive generation in pure JAX: greedy and beam search
-with KV cache, repetition penalty, and EOS handling.
+"""Batched autoregressive generation in pure JAX: greedy, beam search, and
+ancestral sampling (temperature / top-k / top-p, HF warper order) with KV
+cache, repetition penalty, and EOS handling.
 
 Replaces the reference's HF `model.generate` usage
 (evaluation/run_commonsense_parallel.py:154-160 with
@@ -43,6 +44,14 @@ class GenerationConfig:
     # long-context decode lever (weights are already int8/int4 via
     # frozen_quant; past ~2k slots the cache read dominates the step).
     cache_dtype: str = "bfloat16"
+    # Sampling (serving surface beyond the reference's do_sample=False
+    # harness): HF logits-processor order — repetition penalty, then
+    # temperature, then top-k, then top-p. num_beams must be 1.
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0          # 0 = disabled
+    top_p: float = 1.0      # 1.0 = disabled
+    seed: int = 0
 
 
 def _apply_repetition_penalty(logits, seen, penalty: float):
@@ -52,6 +61,30 @@ def _apply_repetition_penalty(logits, seen, penalty: float):
         return logits
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
+
+
+def _filter_logits(logits, top_k: int, top_p: float):
+    """HF TopK/TopP warper semantics on (B, V) logits.
+
+    top-k: mask everything strictly below the k-th largest logit (ties with
+    the k-th value survive, as in HF's `logits < top_k_values[..., -1]`).
+    top-p: keep the smallest set of highest-probability tokens whose
+    cumulative mass reaches top_p — token i (descending order) is kept iff
+    the mass strictly before it is <= top_p, which always keeps the top-1
+    (HF's shifted `cumulative_probs > top_p` removal).
+    """
+    if top_k and top_k > 0:
+        k = min(top_k, logits.shape[-1])
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p < 1.0:
+        desc = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(desc, axis=-1)
+        before = jnp.cumsum(probs, axis=-1) - probs
+        kept = jnp.where(before <= top_p, desc, jnp.inf)
+        kth = jnp.min(kept, axis=-1, keepdims=True)
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    return logits
 
 
 def _scatter_seen(seen, tokens):
@@ -120,14 +153,23 @@ def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
 @partial(jax.jit, static_argnums=(1, 4))
 def _greedy(params, model_cfg: LlamaConfig, input_ids, attention_mask,
             gen: GenerationConfig):
+    """Single-beam decode loop: greedy argmax, or (gen.do_sample) ancestral
+    sampling with temperature / top-k / top-p in HF warper order."""
     b, p_len = input_ids.shape
     (cache, slot_mask, last_logits, real_len, seen,
      p_len) = _prefill(params, model_cfg, input_ids, attention_mask, gen, b)
 
     def body(carry, t):
-        cache, slot_mask, last_logits, seen, finished = carry
+        cache, slot_mask, last_logits, seen, finished, key = carry
         logits = _apply_repetition_penalty(last_logits, seen, gen.repetition_penalty)
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if gen.do_sample:
+            if gen.temperature != 1.0:
+                logits = logits / max(gen.temperature, 1e-6)
+            logits = _filter_logits(logits, gen.top_k, gen.top_p)
+            key, sub = jax.random.split(key)
+            token = jax.random.categorical(sub, logits).astype(jnp.int32)
+        else:
+            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         token = jnp.where(finished, gen.pad_token_id, token)
         now_finished = finished | (token == gen.eos_token_id)
 
@@ -137,9 +179,11 @@ def _greedy(params, model_cfg: LlamaConfig, input_ids, attention_mask,
         positions = (real_len + t)[:, None]
         new_logits, cache = forward_with_cache(
             params, token[:, None], model_cfg, cache, slot, slot_mask, positions)
-        return (cache, slot_mask, new_logits[:, -1, :], seen, now_finished), token
+        return (cache, slot_mask, new_logits[:, -1, :], seen, now_finished,
+                key), token
 
-    init = (cache, slot_mask, last_logits, seen, jnp.zeros((b,), bool))
+    init = (cache, slot_mask, last_logits, seen, jnp.zeros((b,), bool),
+            jax.random.PRNGKey(gen.seed))
     _, tokens = jax.lax.scan(body, init, jnp.arange(gen.max_new_tokens))
     return tokens.T  # (B, max_new_tokens)
 
@@ -170,6 +214,10 @@ def generate(params, model_cfg: LlamaConfig, input_ids, attention_mask,
     batch — the eval harness does this)."""
     input_ids = jnp.asarray(input_ids, jnp.int32)
     attention_mask = jnp.asarray(attention_mask, jnp.int32)
+    if gen.do_sample and gen.num_beams != 1:
+        raise ValueError("do_sample requires num_beams=1 (sampled beam "
+                         "search is not implemented, matching the harness's "
+                         "do_sample=False beam settings)")
     fn = _greedy if gen.num_beams == 1 else _beam
     return np.asarray(fn(params, model_cfg, input_ids, attention_mask, gen))
 
