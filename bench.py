@@ -115,6 +115,39 @@ def tree_bytes(tree):
     return sum(x.nbytes for x in jax.tree.leaves(tree))
 
 
+def aot_memory(step_fn, state, batch):
+    """AOT peak-HBM analysis of a jitted step (VERDICT r3 next #1).
+
+    device.memory_stats() is empty over the axon tunnel, so the runtime
+    peak is unobservable there; XLA's buffer assignment is not — lower +
+    compile the exact step program and read CompiledMemoryStats. This is
+    the compiler's own accounting of the phase's transient peak (arguments
+    + outputs + temporaries incl. attention/loss/correction scratch, minus
+    donation aliasing), i.e. a true per-phase peak rather than the
+    live-arrays steady-state floor. lower() only re-traces; compile() hits
+    the jit/persistent cache, so this adds ~no time to the bench."""
+    import traceback
+    try:
+        ma = step_fn.lower(state, batch).compile().memory_analysis()
+        if ma is None:
+            return {"error": "memory_analysis() returned None"}
+        fields = ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "alias_size_in_bytes",
+                  "peak_memory_in_bytes")
+        out = {f: int(getattr(ma, f, 0) or 0) for f in fields}
+        # peak_memory_in_bytes is XLA's simulated high-water mark of the
+        # temp arena only on some backends; the defensible whole-program
+        # peak is args + outputs + temps - aliased (donated state counted
+        # once). Report both; peak_bytes is the headline.
+        out["peak_bytes"] = max(
+            out["argument_size_in_bytes"] + out["output_size_in_bytes"]
+            + out["temp_size_in_bytes"] - out["alias_size_in_bytes"],
+            out["peak_memory_in_bytes"])
+        return out
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"[-300:]}
+
+
 def enable_compilation_cache():
     """Persistent XLA compilation cache: repeat bench/smoke runs skip
     recompiling unchanged programs (~45s/run measured on the v5e tunnel)."""
@@ -209,7 +242,9 @@ def run_phase(phase: str, small: bool) -> dict:
         return {"sec_per_step": timing["sec_per_step"], "timing": timing,
                 "opt_bytes": opt_bytes,
                 "tokens": bsz * seq, "peak_hbm_bytes": peak_hbm(),
-                "live_hbm_bytes": live_hbm(), "hbm_source": hbm_source()}
+                "live_hbm_bytes": live_hbm(), "hbm_source": hbm_source(),
+                "aot_memory": aot_memory(trainer._warmup_step,
+                                         trainer.state, batch)}
 
     if phase == "smt_big":
         # the memory headline: sparse-phase SMT training of the FULL
@@ -359,7 +394,63 @@ def run_phase(phase: str, small: bool) -> dict:
                                  cfg.attn_impl, seq, big.head_dim),
                              "sparse_impl": _resolve_impl(cfg.sparse_impl)},
                 "peak_hbm_bytes": peak_hbm(), "live_hbm_bytes": live_hbm(),
-                "hbm_source": hbm_source()}
+                "hbm_source": hbm_source(),
+                "aot_memory": aot_memory(step_fn, t.state, big_batch)}
+
+    if phase == "decode":
+        # decode-capability leg (VERDICT r3 next #8): full Llama-3-8B
+        # geometry generating on ONE 16G chip with the round-3 decode stack
+        # — int4 nibble-packed frozen base (fused Pallas unpack-matmul) +
+        # int8 KV cache + cached-attention kernel wiring. bf16 dense decode
+        # of this model cannot run here at all (~16 GB weights alone).
+        # Synthetic weights: decode throughput does not depend on values.
+        import importlib.util
+        import jax.numpy as jnp
+        from sparse_matrix_tuning_tpu.eval.generate import (
+            GenerationConfig, decode_params_from_scan, generate)
+        from sparse_matrix_tuning_tpu.models.llama import LlamaConfig
+        from sparse_matrix_tuning_tpu.utils.throughput import live_hbm_bytes
+
+        spec = importlib.util.spec_from_file_location(
+            "decode_q8_probe",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "decode_q8_probe.py"))
+        probe = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(probe)
+
+        if small:
+            dcfg = LlamaConfig.tiny(vocab_size=512)
+            dbsz, prompt, new = 2, 16, 16
+        else:
+            dcfg = LlamaConfig(
+                vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+                num_hidden_layers=32, num_attention_heads=32,
+                num_key_value_heads=8, max_position_embeddings=2048,
+                tie_word_embeddings=False)
+            dbsz, prompt, new = 8, 128, 128
+        state, host = probe.synth_q8_state(dcfg)
+        params = decode_params_from_scan(state, dcfg, host_frozen=host,
+                                         frozen_quant="int4", consume=True)
+        del state
+        rng = np.random.default_rng(0)
+        ids = rng.integers(3, dcfg.vocab_size, (dbsz, prompt)).astype(np.int32)
+        mask = np.ones_like(ids)
+        gen = GenerationConfig(max_new_tokens=new, eos_token_id=-1,
+                               pad_token_id=0, cache_dtype="int8")
+        generate(params, dcfg, ids, mask, gen)  # compile
+        samples = []
+        for _ in range(1 if small else 3):
+            t0 = time.perf_counter()
+            out = generate(params, dcfg, ids, mask, gen)
+            samples.append(time.perf_counter() - t0)
+        assert out.shape == (dbsz, new)
+        dt = sorted(samples)[len(samples) // 2]
+        return {"tokens_per_sec": round(dbsz * new / dt, 1),
+                "ms_per_decode_step": round(dt * 1e3 / new, 3),
+                "batch": dbsz, "prompt_len": prompt, "new_tokens": new,
+                "stack": "int4 frozen base + int8 KV cache",
+                "params": ("8.03B" if not small else "tiny"),
+                "live_hbm_bytes": live_hbm_bytes()}
 
     ratio = 0.05 if small else 0.0084
     cfg = SMTConfig(matrix_sparsity=True, full_ft_steps=1,
@@ -388,6 +479,8 @@ def run_phase(phase: str, small: bool) -> dict:
             "peak_hbm_bytes": peak_hbm(),
             "live_hbm_bytes": live_hbm(),
             "hbm_source": hbm_source(),
+            "aot_memory": aot_memory(trainer._sparse_step,
+                                     trainer.state, batch),
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
 
@@ -439,6 +532,10 @@ def main():
         big = None if small else child("smt_big", timeout=2400)
     except (RuntimeError, subprocess.TimeoutExpired) as e:
         big = {"error": str(e)[-300:]}
+    try:
+        decode = None if small else child("decode", timeout=2400, retries=1)
+    except (RuntimeError, subprocess.TimeoutExpired) as e:
+        decode = {"error": str(e)[-300:]}
 
     speedup = full["sec_per_step"] / smt["sec_per_step"]
     tokens = smt["tokens"]
@@ -465,8 +562,11 @@ def main():
             "peak_hbm_bytes_smt": smt.get("peak_hbm_bytes", 0),
             "live_hbm_bytes_full_ft": full.get("live_hbm_bytes", 0),
             "live_hbm_bytes_smt": smt.get("live_hbm_bytes", 0),
-            "hbm_source": smt.get("hbm_source", "unknown"),
-            # the <=35%-of-full-FT HBM headline, from measured bytes
+            # XLA buffer-assignment peaks per phase (args+outputs+temps
+            # minus donation aliasing) — a true transient peak, available
+            # even where memory_stats is not (VERDICT r3 next #1)
+            "aot_memory_full_ft": full.get("aot_memory"),
+            "aot_memory_smt": smt.get("aot_memory"),
             "live_hbm_ratio": round(
                 smt.get("live_hbm_bytes", 0)
                 / max(full.get("live_hbm_bytes", 0), 1), 5),
@@ -476,6 +576,22 @@ def main():
             "device": smt.get("device"),
         },
     }
+    # peak-based <=35% HBM headline: AOT buffer-assignment peaks when the
+    # compiler gives them, runtime memory_stats otherwise, live-arrays floor
+    # as the last resort (the source is recorded either way)
+    aot_f = (full.get("aot_memory") or {}).get("peak_bytes", 0)
+    aot_s = (smt.get("aot_memory") or {}).get("peak_bytes", 0)
+    if aot_f and aot_s:
+        result["detail"]["peak_hbm_ratio"] = round(aot_s / aot_f, 5)
+        result["detail"]["hbm_source"] = "aot_memory_analysis"
+    elif smt.get("hbm_source") == "memory_stats":
+        result["detail"]["peak_hbm_ratio"] = round(
+            smt.get("peak_hbm_bytes", 0)
+            / max(full.get("peak_hbm_bytes", 0), 1), 5)
+        result["detail"]["hbm_source"] = "memory_stats"
+    else:
+        result["detail"]["peak_hbm_ratio"] = result["detail"]["live_hbm_ratio"]
+        result["detail"]["hbm_source"] = "live_arrays"
     if big is not None and "error" not in big:
         result["detail"]["big_model"] = {
             "params": big["total_params"],
@@ -490,6 +606,8 @@ def main():
         }
     elif big is not None:
         result["detail"]["big_model"] = big
+    if decode is not None:
+        result["detail"]["decode_8b"] = decode
     print(json.dumps(result))
 
 

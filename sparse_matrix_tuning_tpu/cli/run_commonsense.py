@@ -80,6 +80,18 @@ def main(argv=None):
 
     enable_compilation_cache()  # decode programs persist across eval runs
     set_random_seed(args.seed)
+    if not args.do_sample:
+        # the greedy/beam branch never reads the sampling warpers (HF warns
+        # in the same situation) — fail loud instead of silently ignoring
+        knobs = [f"--{k}={v}" for k, v in
+                 (("temperature", args.temperature), ("top_k", args.top_k),
+                  ("top_p", args.top_p))
+                 if v != {"temperature": 1.0, "top_k": 0, "top_p": 1.0}[k]]
+        if knobs:
+            raise SystemExit(
+                f"{', '.join(knobs)} set but --do_sample is off — sampling "
+                "knobs have no effect on greedy/beam decoding; pass "
+                "--do_sample or drop them")
     model_cfg = load_hf_config(args.model_name_or_path)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.frozen_quant in ("int8", "int4"):

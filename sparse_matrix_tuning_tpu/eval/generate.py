@@ -152,7 +152,7 @@ def _prefill(params, model_cfg, input_ids, attention_mask, gen, batch):
 
 @partial(jax.jit, static_argnums=(1, 4))
 def _greedy(params, model_cfg: LlamaConfig, input_ids, attention_mask,
-            gen: GenerationConfig):
+            gen: GenerationConfig, sample_key=None):
     """Single-beam decode loop: greedy argmax, or (gen.do_sample) ancestral
     sampling with temperature / top-k / top-p in HF warper order."""
     b, p_len = input_ids.shape
@@ -182,8 +182,9 @@ def _greedy(params, model_cfg: LlamaConfig, input_ids, attention_mask,
         return (cache, slot_mask, new_logits[:, -1, :], seen, now_finished,
                 key), token
 
-    init = (cache, slot_mask, last_logits, seen, jnp.zeros((b,), bool),
-            jax.random.PRNGKey(gen.seed))
+    key = (sample_key if sample_key is not None
+           else jax.random.PRNGKey(gen.seed))
+    init = (cache, slot_mask, last_logits, seen, jnp.zeros((b,), bool), key)
     _, tokens = jax.lax.scan(body, init, jnp.arange(gen.max_new_tokens))
     return tokens.T  # (B, max_new_tokens)
 
@@ -204,22 +205,36 @@ def _beam(params, model_cfg: LlamaConfig, input_ids, attention_mask,
 # ---------------------------------------------------------------------------
 
 def generate(params, model_cfg: LlamaConfig, input_ids, attention_mask,
-             gen: GenerationConfig) -> np.ndarray:
+             gen: GenerationConfig, call_idx: int = 0) -> np.ndarray:
     """input_ids/attention_mask: LEFT-padded (B, P) int arrays.
     Returns generated token ids (B, max_new_tokens), pad-filled after EOS.
 
     params may be the standard per-layer pytree or `stack_layers` output;
     the stacked layout compiles one scan body instead of L unrolled layers
     (use `prepare_decode_params` once per model, then call generate per
-    batch — the eval harness does this)."""
+    batch — the eval harness does this).
+
+    call_idx distinguishes successive sampled batches under one seed: the
+    Gumbel stream is PRNGKey(seed) folded with call_idx, so batch k's draws
+    are independent of batch j's (HF advances its global torch generator
+    between calls; a fixed key would reuse the identical noise every batch).
+    Passed as a traced key — no recompile per batch."""
     input_ids = jnp.asarray(input_ids, jnp.int32)
     attention_mask = jnp.asarray(attention_mask, jnp.int32)
     if gen.do_sample and gen.num_beams != 1:
         raise ValueError("do_sample requires num_beams=1 (sampled beam "
                          "search is not implemented, matching the harness's "
                          "do_sample=False beam settings)")
-    fn = _greedy if gen.num_beams == 1 else _beam
-    return np.asarray(fn(params, model_cfg, input_ids, attention_mask, gen))
+    if gen.do_sample and gen.temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0 when do_sample=True, got "
+                         f"{gen.temperature} (HF's TemperatureLogitsWarper "
+                         "rejects it too; use do_sample=False for greedy)")
+    if gen.num_beams != 1:
+        return np.asarray(_beam(params, model_cfg, input_ids, attention_mask,
+                                gen))
+    key = jax.random.fold_in(jax.random.PRNGKey(gen.seed), call_idx)
+    return np.asarray(_greedy(params, model_cfg, input_ids, attention_mask,
+                              gen, key))
 
 
 def prepare_decode_params(params, model_cfg: LlamaConfig):

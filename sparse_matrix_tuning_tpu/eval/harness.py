@@ -202,6 +202,10 @@ def make_generate_fn(params, model_cfg, tokenizer, gen_cfg,
             b *= 2
         return min(b, max_prompt_len)
 
+    # monotone per-process batch counter: each sampled batch folds a fresh
+    # index into the seed key so draws are independent across batches
+    call_counter = [0]
+
     def fn(prompts: List[str]) -> List[str]:
         outs: List[str] = []
         for i in range(0, len(prompts), batch_size):
@@ -216,7 +220,9 @@ def make_generate_fn(params, model_cfg, tokenizer, gen_cfg,
             for j, x in enumerate(ids_list):  # left padding
                 ids[j, longest - len(x):] = x
                 mask[j, longest - len(x):] = 1
-            tokens = generate(params, model_cfg, ids, mask, gen_cfg)[:n]
+            tokens = generate(params, model_cfg, ids, mask, gen_cfg,
+                              call_idx=call_counter[0])[:n]
+            call_counter[0] += 1
             outs.extend(tokenizer.batch_decode(tokens, skip_special_tokens=True))
         return outs
 

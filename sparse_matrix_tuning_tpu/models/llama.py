@@ -255,16 +255,24 @@ def resolve_attn_impl(attn_impl: str, seq_len: int, head_dim: int) -> str:
       * XLA einsum in turn beats the stock Pallas flash kernel at seq
         1024-4096 (bwd ~1.8x, e.g. 13.7ms vs 24.7ms at seq 2048).
 
-    "auto" resolves to fullk on a single TPU device at training lengths
-    (validated to seq 4096) with 128-aligned head_dim; einsum elsewhere —
-    CPU (interpret-mode Pallas is test-only) and multi-device GSPMD meshes
-    (pallas_call has no SPMD partitioning rule, so XLA would all-gather
-    the sharded batch around it). flash stays opt-in for longer-context
-    regimes."""
+    "auto" resolves to fullk on TPU at training lengths (validated to seq
+    4096) with 128-aligned head_dim — on a single device directly, and on
+    GSPMD meshes through the shard_map wrapper (_fullk_attention: batch over
+    data/fsdp, heads over tensor — attention is local to (batch, head), so
+    the per-shard kernel shapes are identical to the single-chip case and
+    the measured 2.06-2.78x win carries; per-call fullk_supported_on_mesh
+    falls back to einsum when the mesh does not divide the shape). einsum
+    elsewhere: CPU (interpret-mode Pallas is test-only; plus the CPU-3D-mesh
+    shard_map miscompile, parallel.mesh.is_cpu_3d_hazard) and multi-device
+    without a compute mesh (a bare pallas_call has no SPMD partitioning
+    rule, so XLA would all-gather the sharded batch around it). flash stays
+    opt-in for longer-context regimes."""
     if attn_impl != "auto":
         return attn_impl
-    if (jax.devices()[0].platform == "tpu" and jax.device_count() == 1
-            and seq_len <= 4096 and head_dim % 128 == 0):
+    from sparse_matrix_tuning_tpu.parallel.mesh import compute_mesh
+    if (jax.devices()[0].platform == "tpu"
+            and seq_len <= 4096 and head_dim % 128 == 0
+            and (jax.device_count() == 1 or compute_mesh() is not None)):
         return "fullk"
     return "einsum"
 

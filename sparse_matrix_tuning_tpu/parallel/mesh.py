@@ -42,9 +42,29 @@ def compute_mesh() -> Optional[Mesh]:
     return _COMPUTE_MESH
 
 
+def is_cpu_3d_hazard(mesh: Mesh) -> bool:
+    """True iff mesh is an all-axes>1 3D mesh on the CPU backend — the shape
+    on which XLA's CPU GSPMD partitioner is known to miscompile a full-model
+    program that embeds a shard_map region (fullk attention): shard-group
+    swap in the first residual add → step-1 loss silently off by ~3e-3 (see
+    CLAUDE.md; reproduced on jax 0.8.x with 8 virtual devices). Einsum-only
+    programs and isolated shard_map kernels are verified clean on the same
+    mesh (tests pin both), and any factorization with a size-1 axis is
+    entirely clean — (1,4,2), (2,4,1), (1,8,1). TPU meshes are unaffected.
+    SMTTrainer refuses the hazardous combination (explicit attn_impl=fullk
+    on such a mesh) — loud error > silent wrong numerics; reference users
+    get NCCL errors loudly, never corruption."""
+    shape = mesh.devices.shape
+    return (len(shape) == 3 and all(int(s) > 1 for s in shape)
+            and mesh.devices.flat[0].platform == "cpu")
+
+
 def make_mesh(mesh_shape: Optional[Sequence[int]] = None,
               devices=None) -> Mesh:
-    """mesh_shape = (data, fsdp, tensor); default puts every device on fsdp."""
+    """mesh_shape = (data, fsdp, tensor); default puts every device on fsdp.
+
+    See is_cpu_3d_hazard for the one known-bad CPU shape family (SMTTrainer
+    guards the miscompiling combination)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if mesh_shape is None:

@@ -53,7 +53,18 @@ class SMTTrainer:
         # sparse phase runs scan-over-layers (train/scan_phase.py)
         self._scan = False
 
-        from sparse_matrix_tuning_tpu.parallel.mesh import set_compute_mesh
+        from sparse_matrix_tuning_tpu.parallel.mesh import (
+            is_cpu_3d_hazard, set_compute_mesh)
+        if (mesh is not None and cfg.attn_impl == "fullk"
+                and is_cpu_3d_hazard(mesh)):
+            raise ValueError(
+                f"attn_impl=fullk on CPU mesh {tuple(mesh.devices.shape)}: "
+                "XLA CPU GSPMD miscompiles full-model programs that embed a "
+                "shard_map region on all-axes>1 3D CPU meshes (silent ~3e-3 "
+                "step-1 loss error — see parallel.mesh.is_cpu_3d_hazard). "
+                "Use a factorization with a size-1 axis ((1,N,1), (2,N/2,1), "
+                "(1,N/2,2) are verified clean) or attn_impl=einsum. TPU "
+                "meshes are unaffected.")
         set_compute_mesh(mesh)  # shard_map-wrapped kernels read this at trace
 
         from sparse_matrix_tuning_tpu.train.scan_phase import (

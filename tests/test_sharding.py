@@ -140,3 +140,44 @@ def test_channel_mesh_matches_single_device():
 
     assert t_single.plan.fingerprint() == t_mesh.plan.fingerprint()
     np.testing.assert_allclose(single, meshed, rtol=2e-4, atol=2e-5)
+
+
+def test_cpu_3d_hazard_guard():
+    """SMTTrainer refuses the one known-miscompiling combination (explicit
+    fullk shard_map on an all-axes>1 3D CPU mesh, VERDICT r3 weak #6); the
+    einsum default on the same mesh stays allowed (covered by the (2,2,2)
+    row of test_two_phase_training_on_mesh)."""
+    from sparse_matrix_tuning_tpu.parallel.mesh import is_cpu_3d_hazard
+
+    hazard = make_mesh((2, 2, 2))
+    assert is_cpu_3d_hazard(hazard)
+    assert not is_cpu_3d_hazard(make_mesh((1, 4, 2)))
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(ValueError, match="fullk on CPU mesh"):
+        SMTTrainer(smt_cfg(attn_impl="fullk"), CFG, params,
+                   total_steps=2, mesh=hazard)
+
+
+def test_auto_attn_resolves_fullk_on_tpu_mesh(monkeypatch):
+    """'auto' engages the fullk kernel on TPU GSPMD meshes (VERDICT r3 weak
+    #2): platform tpu + a compute mesh set -> fullk; CPU meshes and
+    non-conforming head dims stay einsum."""
+    from sparse_matrix_tuning_tpu.models import llama
+    from sparse_matrix_tuning_tpu.parallel import mesh as pmesh
+
+    class _FakeTpu:
+        platform = "tpu"
+
+    monkeypatch.setattr(llama.jax, "devices", lambda: [_FakeTpu()] * 8)
+    monkeypatch.setattr(llama.jax, "device_count", lambda: 8)
+    try:
+        pmesh.set_compute_mesh(make_mesh((1, 4, 2)))
+        assert llama.resolve_attn_impl("auto", 1024, 128) == "fullk"
+        assert llama.resolve_attn_impl("auto", 1024, 96) == "einsum"
+        assert llama.resolve_attn_impl("auto", 8192, 128) == "einsum"
+        pmesh.set_compute_mesh(None)  # multi-device, no mesh -> einsum
+        assert llama.resolve_attn_impl("auto", 1024, 128) == "einsum"
+    finally:
+        pmesh.set_compute_mesh(None)
+    # CPU (the real backend here) always resolves to einsum
+    assert llama.resolve_attn_impl("auto", 1024, 128) == "einsum"
