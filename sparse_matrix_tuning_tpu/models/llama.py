@@ -424,7 +424,9 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
                  stop_grad_below_layer: Optional[int] = None,
                  attn_impl: str = "einsum",
                  return_hidden: bool = False,
-                 dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+                 dropout_rng: Optional[jax.Array] = None,
+                 activation_taps: Optional[dict] = None,
+                 tap_reduce=None) -> jax.Array:
     """forward() with the layer loop as ONE lax.scan over stacked layer
     params — the training-side sibling of the scan decode path
     (forward_with_cache stacked=True). Compile time becomes depth-
@@ -442,6 +444,15 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
     fold_in stream the unrolled forward uses, so scan/unrolled dropout
     runs agree exactly at equal seeds (tests/test_scan_phase.py dropout
     rows).
+
+    activation_taps: like forward()'s — but inside a scan the taps cannot
+    be written to an outer dict (they would leak scan tracers), so each
+    layer's (S, in_dim) masked |input| sums become scan ys, stacked to
+    {module: (L, ...)} and written into the caller's dict after the scan.
+    tap_reduce(module, tap) optionally reduces each layer's tap INSIDE the
+    body (e.g. select.channel_stats -> (C,)) so the stacked ys stay tiny —
+    (L, S, C) raw stacks are ~0.5 GB/module at 8B depth; reduced stats are
+    (L, C). Returning None from tap_reduce drops that module from the ys.
 
     stop_grad_below_layer is honored with the unrolled form's perf
     semantics too (torch-autograd parity P18): the scan splits statically
@@ -467,7 +478,9 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
     attn_impl = resolve_attn_impl(attn_impl, s, cfg.head_dim)
 
     layer_fn = _decoder_layer
-    if remat:
+    # taps disable remat like the unrolled forward (the replayed forward
+    # would re-write — and double — the tapped sums)
+    if remat and activation_taps is None:
         layer_fn = jax.checkpoint(_decoder_layer,
                                   static_argnums=(5, 6, 7, 8),
                                   policy=jax.checkpoint_policies.nothing_saveable)
@@ -495,21 +508,38 @@ def forward_scan(params: Mapping[str, Any], input_ids: jax.Array,
                 return linear_scan(h, w, module, ex)
         else:
             linear = default_linear
+        taps_l: dict = {}
+        if activation_taps is not None:
+            linear = _tapped(linear, taps_l, attention_mask)
         layer_rng = (jax.random.fold_in(dropout_rng, xs_l["li"])
                      if dropout_rng is not None else None)
         x = layer_fn(xs_l["lp"], x, mask_bias, cos, sin, cfg, linear, 0,
                      attn_impl, dropout_rng=layer_rng)
-        return x, None
+        ys = None
+        if activation_taps is not None:
+            ys = {}
+            for k, v in taps_l.items():
+                mod = k.split(".", 1)[1]  # body layer_idx is always 0
+                r = tap_reduce(mod, v) if tap_reduce is not None else v
+                if r is not None:
+                    ys[mod] = r
+        return x, ys
 
     if cut is None:
-        x, _ = jax.lax.scan(body, x, xs)
+        x, ys_all = jax.lax.scan(body, x, xs)
     else:
+        ys_pre = None
         if cut > 0:
             xs_pre = jax.tree.map(lambda a: a[:cut], xs)
-            x, _ = jax.lax.scan(body, x, xs_pre)
+            x, ys_pre = jax.lax.scan(body, x, xs_pre)
         x = jax.lax.stop_gradient(x)
         xs_suf = jax.tree.map(lambda a: a[cut:], xs)
-        x, _ = jax.lax.scan(body, x, xs_suf)
+        x, ys_suf = jax.lax.scan(body, x, xs_suf)
+        ys_all = (jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                               ys_pre, ys_suf)
+                  if ys_pre is not None else ys_suf)
+    if activation_taps is not None:
+        activation_taps.update(ys_all)  # {module: (L, ...)}
 
     x = _rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if return_hidden:

@@ -65,19 +65,28 @@ def resolve_scan_layers(cfg: SMTConfig, model_cfg: LlamaConfig,
     return supported and model_cfg.num_hidden_layers >= 12
 
 
-def resolve_scan_warmup(cfg: SMTConfig, model_cfg: LlamaConfig) -> bool:
-    """Scan the WARM-UP phase too (full-FT + saliency harvest as one
-    lax.scan over stacked layers). Engages with the sparse-phase scan
-    conditions plus per_step_stats saliency — the accumulation mode the
-    auto policy already picks at exactly the depths where unrolled compile
-    bites (steps.resolve_saliency_accumulation). grad_sum (reference-exact
-    full grad sums) stays unrolled: that regime is small models.
+def resolve_scan_warmup(cfg: SMTConfig, model_cfg: LlamaConfig):
+    """Scan the WARM-UP phase too. Returns the warm-up scan mode —
+    "matrix" (full-FT + stacked saliency harvest, build_scan_warmup_step),
+    "channel" (forward-only stacked activation harvest,
+    build_scan_channel_warmup_step), or None (unrolled warm-up).
+
+    Engages with the sparse-phase scan conditions plus per_step_stats
+    saliency — the accumulation mode the auto policy already picks at
+    exactly the depths where unrolled compile bites
+    (steps.resolve_saliency_accumulation). grad_sum (reference-exact full
+    grad sums) stays unrolled: that regime is small models.
 
     Call AFTER resolve_saliency_accumulation has resolved "auto"."""
-    if not resolve_scan_layers(cfg, model_cfg, "matrix"):
-        return False
-    return (cfg.matrix_sparsity and not cfg.channel_sparsity
-            and cfg.saliency_accumulation == "per_step_stats")
+    if cfg.saliency_accumulation != "per_step_stats":
+        return None
+    if cfg.matrix_sparsity:  # matrix/channel are mutually exclusive (config)
+        return "matrix" if resolve_scan_layers(cfg, model_cfg,
+                                               "matrix") else None
+    if cfg.channel_sparsity:
+        return "channel" if resolve_scan_layers(cfg, model_cfg,
+                                                "channel") else None
+    return None
 
 
 def stack_layer_tree(layers: Dict[str, Dict], n_layers: int,
@@ -92,16 +101,31 @@ def stack_layer_tree(layers: Dict[str, Dict], n_layers: int,
 
 def init_scan_warmup_state(params, cfg: SMTConfig,
                            model_cfg: LlamaConfig) -> Dict:
-    """Stacked twin of steps.init_warmup_state (matrix mode,
-    per_step_stats): acc is {module: (L, RB, CB) fp32}."""
+    """Stacked twin of steps.init_warmup_state. Matrix mode
+    (per_step_stats): acc is {module: (L, RB, CB) fp32} plus the full-FT
+    optimizer state. Channel mode: act_acc is {module: (L, C) fp32} and
+    NO optimizer/adam state at all — the channel warm-up is forward-only
+    (reference fine_tune.py:708 `continue`), so m/v of the full master
+    (2x fp32 params, ~560 GB at 70B) would be pure waste."""
     from sparse_matrix_tuning_tpu.models.llama import TARGET_MODULES
-    from sparse_matrix_tuning_tpu.train.steps import _wants_saliency
+    from sparse_matrix_tuning_tpu.train.steps import (
+        _wants_channel, _wants_saliency)
 
     L = model_cfg.num_hidden_layers
     master = {k: v.astype(jnp.float32) for k, v in params.items()
               if k != "layers"}
     master["layers_stacked"] = stack_layer_tree(params["layers"], L,
                                                 jnp.float32)
+    if cfg.channel_sparsity and not cfg.matrix_sparsity:
+        act = {}
+        for mod, w in master["layers_stacked"].items():
+            if (w.ndim != 3 or mod not in TARGET_MODULES
+                    or not _wants_channel(cfg, mod)):
+                continue
+            act[mod] = jnp.zeros((L, w.shape[2]), jnp.float32)
+        return {"master": master, "act_acc": act,
+                "count": jnp.zeros((), jnp.int32),
+                "step": jnp.zeros((), jnp.int32)}
     state = {
         "master": master,
         "m": jax.tree.map(jnp.zeros_like, master),
@@ -232,6 +256,52 @@ def _warmup_scan_loss(params, batch, cfg: SMTConfig, model_cfg: LlamaConfig,
     return causal_lm_loss(logits, batch["labels"])
 
 
+def build_scan_channel_warmup_step(cfg: SMTConfig,
+                                   model_cfg: LlamaConfig) -> Callable:
+    """Scan twin of steps.build_channel_warmup_step: ONE forward_scan with
+    per-layer activation taps reduced to (C,) channel stats inside the scan
+    body (models/llama.py forward_scan activation_taps/tap_reduce), so the
+    warm-up compiles in O(1-layer) time at any depth — the unrolled channel
+    warm-up traces L program copies, and the reference runs L sequential
+    per-layer hook passes (fine_tune.py:586-708). Forward-only, no training
+    (reference `continue` at :708); pad positions masked like the unrolled
+    step. per_step_stats only (same restriction as the matrix scan warm-up:
+    the (S, C) positional form needs position-resolved sums)."""
+    from sparse_matrix_tuning_tpu.models.llama import (
+        ATTN_TARGETS, causal_lm_loss)
+    from sparse_matrix_tuning_tpu.smt.select import channel_stats
+    from sparse_matrix_tuning_tpu.train.convert import (
+        ATTENTION_CALCULATE_STRATEGY)
+    from sparse_matrix_tuning_tpu.train.steps import (
+        _cast_tree, _wants_channel)
+
+    param_dtype = cfg.param_dtype
+
+    def tap_reduce(module: str, tap: jax.Array):
+        if not _wants_channel(cfg, module):
+            return None  # dropped from the scan ys entirely
+        strat = (cfg.calculate_strategy
+                 if (module not in ATTN_TARGETS or cfg.no_limit_mixture)
+                 else ATTENTION_CALCULATE_STRATEGY)
+        return channel_stats(tap, strat)  # (C,)
+
+    def step(state: Dict, batch: Dict) -> tuple:
+        params = _cast_tree(state["master"], param_dtype)
+        taps: Dict[str, jax.Array] = {}
+        logits = forward_scan(params, batch["input_ids"], model_cfg,
+                              attention_mask=batch.get("attention_mask"),
+                              remat=False, attn_impl=cfg.attn_impl,
+                              activation_taps=taps, tap_reduce=tap_reduce)
+        loss = causal_lm_loss(logits, batch["labels"])
+        new_state = dict(state)
+        new_state["act_acc"] = {mod: state["act_acc"][mod] + taps[mod]
+                                for mod in state["act_acc"]}
+        new_state["step"] = state["step"] + 1
+        return new_state, {"loss": loss}
+
+    return step
+
+
 def convert_from_scan_warmup(cfg: SMTConfig, warmup_state: Dict,
                              model_cfg: LlamaConfig, all_2d_shapes):
     """Selection + scan sparse state from a SCAN warm-up state: unstack the
@@ -241,18 +311,19 @@ def convert_from_scan_warmup(cfg: SMTConfig, warmup_state: Dict,
     from sparse_matrix_tuning_tpu.train.convert import build_plan
 
     L = model_cfg.num_hidden_layers
-    acc_keyed = {}
-    for mod, a in warmup_state["acc"].items():
-        host = np.asarray(a)
-        for l in range(L):
-            acc_keyed[f"{l}.{mod}"] = jnp.asarray(host[l])
     shape_layers = {
         str(l): {mod: jax.ShapeDtypeStruct(w.shape[1:], w.dtype)
                  for mod, w in warmup_state["master"]["layers_stacked"].items()}
         for l in range(L)
     }
     view = dict(warmup_state)
-    view["acc"] = acc_keyed
+    stat_key = "acc" if "acc" in warmup_state else "act_acc"
+    keyed = {}
+    for mod, a in warmup_state[stat_key].items():
+        host = np.asarray(a)
+        for l in range(L):
+            keyed[f"{l}.{mod}"] = jnp.asarray(host[l])
+    view[stat_key] = keyed
     view["master"] = dict(warmup_state["master"])
     view["master"]["layers"] = shape_layers
     plan = build_plan(cfg, view, all_2d_shapes)

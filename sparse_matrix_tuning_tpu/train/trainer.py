@@ -82,14 +82,25 @@ class SMTTrainer:
 
         warmup_sched = make_lr_schedule(cfg.lr_scheduler_type, cfg.ft_learning_rate,
                                         cfg.lr_warmup_steps, self.total_steps)
-        if self._scan_warmup:
+        if self._scan_warmup == "matrix":
             self._warmup_step = self._jit(
                 build_scan_warmup_step(cfg, model_cfg, warmup_sched))
+        elif self._scan_warmup == "channel":
+            # pure-channel warm-up never trains (every pre-conversion step
+            # routes to _channel_step below), so there is no full-FT step —
+            # and the channel scan state carries no adam state to feed one
+            self._warmup_step = None
         else:
             self._warmup_step = self._jit(
                 build_warmup_step(cfg, model_cfg, warmup_sched))
-        self._channel_step = (self._jit(build_channel_warmup_step(cfg, model_cfg))
-                              if cfg.channel_sparsity else None)
+        self._channel_step = None
+        if cfg.channel_sparsity:
+            from sparse_matrix_tuning_tpu.train.scan_phase import (
+                build_scan_channel_warmup_step)
+            builder = (build_scan_channel_warmup_step
+                       if self._scan_warmup == "channel"
+                       else build_channel_warmup_step)
+            self._channel_step = self._jit(builder(cfg, model_cfg))
         self._sparse_step = None  # built at conversion
         self._eval_step = self._jit_eval(build_eval_step(cfg, model_cfg))
 

@@ -280,3 +280,20 @@ def test_channel_unrolled_stays_unquantized():
     cfg = channel_cfg(frozen_quant="int8")
     assert resolve_frozen_quant(cfg, "channel", scan=False) == "none"
     assert resolve_frozen_quant(cfg, "channel", scan=True) == "int8"
+
+
+def test_channel_q8_eval_forward_matches_training_forward():
+    """VERDICT r3 next #3 regression: the channel-q8 EVAL forward (scan
+    eval step) computes the identical loss to the TRAINING forward on the
+    same state/batch — eval quality numbers measure exactly what training
+    optimized (no dense-vs-corrected drift)."""
+    t, _ = _train("on", fq="int8")
+    assert t.phase == "sparse" and "q" in t.state
+    b = make_batches(1, bsz=8, seed=7)[0]
+    _, eval_loss = t.evaluate(iter([b]))
+    train_loss = float(t.train_step(b)["loss"])  # loss is pre-update
+    # 2e-5: the training forward runs under value_and_grad with the
+    # two-segment stop-grad scan (different XLA fusions than the plain
+    # eval forward — ~4e-6 observed); a dense-vs-corrected dispatch drift
+    # would be orders of magnitude larger (int8 quant error ~1e-2)
+    np.testing.assert_allclose(eval_loss, train_loss, rtol=2e-5)

@@ -86,15 +86,86 @@ def test_scan_warmup_resolution():
     import dataclasses
     deep = dataclasses.replace(CFG, num_hidden_layers=32)
     assert resolve_scan_warmup(
-        smt_cfg(saliency_accumulation="per_step_stats"), deep)
+        smt_cfg(saliency_accumulation="per_step_stats"), deep) == "matrix"
     assert not resolve_scan_warmup(
         smt_cfg(saliency_accumulation="grad_sum"), deep)
     assert not resolve_scan_warmup(
         smt_cfg(saliency_accumulation="per_step_stats"), CFG)  # shallow
-    assert not resolve_scan_warmup(
+    assert resolve_scan_warmup(
         smt_cfg(saliency_accumulation="per_step_stats",
                 matrix_sparsity=False, channel_sparsity=True,
-                num_attention_channel=4, num_mlp_channel=4), deep)
+                num_attention_channel=4, num_mlp_channel=4),
+        deep) == "channel"
+
+
+def _channel_cfg(scan: str):
+    return smt_cfg(matrix_sparsity=False, channel_sparsity=True,
+                   num_attention_channel=8, num_mlp_channel=8,
+                   saliency_accumulation="per_step_stats",
+                   scan_layers=scan, full_ft_steps=3)
+
+
+def test_channel_scan_warmup_matches_unrolled_two_phase():
+    """Channel scan warm-up (VERDICT r3 weak #4): the stacked forward-only
+    activation harvest selects the same channels and trains to the same
+    losses as the unrolled channel warm-up."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    def run(scan):
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        t = SMTTrainer(_channel_cfg(scan), CFG, params, total_steps=8)
+        losses = [float(t.train_step(b)["loss"])
+                  for b in make_batches(8, bsz=8)]
+        return t, losses
+
+    t_s, l_s = run("on")
+    t_u, l_u = run("off")
+    assert t_s._scan_warmup == "channel" and not t_u._scan_warmup
+    assert t_s._scan and t_s.phase == "sparse"
+    assert t_s.plan.mode == "channel"
+    assert t_s.plan.fingerprint() == t_u.plan.fingerprint()
+    np.testing.assert_allclose(l_s, l_u, rtol=3e-3)
+    assert l_s[-1] < l_s[0]
+
+
+def test_channel_scan_warmup_state_layout():
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    t = SMTTrainer(_channel_cfg("on"), CFG, params, total_steps=4)
+    st = t.state
+    L = CFG.num_hidden_layers
+    assert "layers_stacked" in st["master"]
+    # forward-only warm-up: no adam state for the full master
+    assert "m" not in st and "v" not in st
+    for mod, a in st["act_acc"].items():
+        assert a.shape == (L, st["master"]["layers_stacked"][mod].shape[2])
+
+
+def test_channel_scan_warmup_checkpoint_resume():
+    import tempfile
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    batches = make_batches(8, bsz=8)
+    t1 = SMTTrainer(_channel_cfg("on"), CFG,
+                    init_params(jax.random.PRNGKey(0), CFG), total_steps=8)
+    for b in batches[:2]:  # mid-WARM-UP (full_ft_steps=3)
+        t1.train_step(b)
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, t1)
+        t2 = SMTTrainer(_channel_cfg("on"), CFG,
+                        init_params(jax.random.PRNGKey(0), CFG), total_steps=8)
+        restore_checkpoint(d, t2)
+    assert t2.phase == "warmup" and t2._scan_warmup == "channel"
+    l1 = [float(t1.train_step(b)["loss"]) for b in batches[2:]]
+    l2 = [float(t2.train_step(b)["loss"]) for b in batches[2:]]
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    assert t1.plan.fingerprint() == t2.plan.fingerprint()
 
 
 def test_scan_warmup_fp16_matches_unrolled():

@@ -8,9 +8,10 @@ training prompt formatting, two-phase SMT, merged export, eval prompt,
 beam decode, answer extraction, accuracy accounting — with an objective
 signal (accuracy must exceed 90% on held-out pairs).
 
-Run: python tools/synthetic_eval_tpu.py [frozen_quant] [geometry]
+Run: python tools/synthetic_eval_tpu.py [frozen_quant] [geometry] [mode]
   frozen_quant: none|int8|auto        (default auto)
   geometry:     base|deep             (default base)
+  mode:         matrix|channel        (default matrix)
 
 Running it once with `none` and once with `int8` is the quality-parity
 evidence for the int8 frozen base (PARITY.md D17). `deep` switches to a
@@ -18,7 +19,10 @@ evidence for the int8 frozen base (PARITY.md D17). `deep` switches to a
 end-to-end — scan-over-layers (>=12 layers), fullk attention
 (head_dim%128==0), int8 frozen base + host offload (matrix mode on TPU)
 — making the run quality-parity evidence for the whole fast path, not
-just the quantizer (VERDICT r2 #6).
+just the quantizer (VERDICT r2 #6). `channel` swaps the sparsity mode to
+column selection (reference smt.py:185-296) so the same evidence exists
+for the channel stack — channel scan warm-up + channel-scan sparse phase
++ int8 + offload + beam-4 (VERDICT r3 weak #3).
 """
 import json
 import os
@@ -89,6 +93,37 @@ def main():
         json.dump([{k: e[k] for k in ("instruction", "answer")} for e in test], f)
 
     frozen_quant = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "matrix"
+    if mode == "channel":
+        # The channel warm-up is forward-only (reference fine_tune.py:708
+        # `continue`), so unlike the matrix warm-up it cannot double as
+        # pretraining of this random-init base. Pretrain with a plain
+        # full-FT run first (SMT presumes a capable base model — the paper
+        # fine-tunes pretrained LLMs), then channel-SMT from that export:
+        # 100 forward-only harvest steps -> column selection -> sparse
+        # phase. Column counts sized to roughly the matrix run's ~5%
+        # trainable fraction.
+        pre = os.path.join(work, "pretrain")
+        ft_main([
+            "--model_name_or_path", ckpt,
+            "--data_path", os.path.join(work, "train.json"),
+            "--output_dir", pre,
+            "--per_device_ft_batch_size", "8",
+            "--per_device_eval_batch_size", "8",
+            "--num_ft_epochs", "2", "--max_seq_len", "128",
+            "--lr_scheduler_type", "constant",
+            "--eval_step", "0", "--ft_learning_rate", "1e-3",
+            "--seed", "5",
+        ])
+        ckpt = os.path.join(pre, "final")
+        mode_flags = ["--channel_sparsity",
+                      "--num_attention_channel", "800",
+                      "--num_mlp_channel", "800",
+                      "--full_ft_steps", "100"]
+    else:
+        mode_flags = ["--matrix_sparsity", "--full_ft_steps", "600",
+                      "--downsample_attention_blocks_ratio", "0.05",
+                      "--downsample_mlp_blocks_ratio", "0.05"]
     out = os.path.join(work, "out")
     ft_main([
         "--frozen_quant", frozen_quant,
@@ -99,9 +134,7 @@ def main():
         # model (the paper fine-tunes pretrained LLMs); from random init the
         # warm-up phase must first teach the task, then the sparse phase
         # continues with ~5% of params trainable
-        "--matrix_sparsity", "--full_ft_steps", "600",
-        "--downsample_attention_blocks_ratio", "0.05",
-        "--downsample_mlp_blocks_ratio", "0.05",
+        *mode_flags,
         "--per_device_ft_batch_size", "8",
         "--per_device_eval_batch_size", "8",
         "--num_ft_epochs", "4", "--max_seq_len", "128",
@@ -120,7 +153,7 @@ def main():
     ])
     acc = results["boolq"]
     print(f"SYNTHETIC EVAL accuracy: {acc*100:.1f}% "
-          f"(frozen_quant={frozen_quant}, geometry={geometry})")
+          f"(frozen_quant={frozen_quant}, geometry={geometry}, mode={mode})")
     if frozen_quant != "none":
         # the same export through the INT8 DECODE path (quantize-on-load +
         # layers_q8): quality-parity evidence for evaluating big models
