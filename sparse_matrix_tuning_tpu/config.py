@@ -82,11 +82,14 @@ class SMTConfig:
     #                      and reduce blocks once at conversion
     #                      (fine_tune.py:716-768 semantics); accumulator is
     #                      weight-sized fp32.
-    #   "per_step_stats" — accumulate per-block reduced stats each step
-    #                      (score = sum_t stat(g_t) instead of stat(sum_t g_t));
-    #                      accumulator is (R/256, C/256) — ~65536x smaller,
-    #                      and less cancellation-prone for mean_abs. Not
-    #                      bit-compatible with the reference's selection.
+    #   "per_step_stats" — accumulate per-block reduced stats each step;
+    #                      accumulator is (R/256, C/256) — ~65536x smaller.
+    #                      For mean_abs (the default + the attention quirk)
+    #                      the SIGNED block mean is accumulated and abs
+    #                      applied at selection (select.block_stats_step/
+    #                      _final), so the selection equals grad_sum's
+    #                      EXACTLY; abs_mean/L1/L2 score sum_t stat(g_t)
+    #                      instead of stat(sum_t g_t) (approximate).
     #   "auto"           — grad_sum while the accumulators fit (reference-
     #                      exact), per_step_stats at scale (resolved against
     #                      the actual model shapes in train/steps.py)

@@ -63,6 +63,37 @@ def block_stats(grad: np.ndarray, calculate_strategy: str = "mean_abs",
     raise ValueError(f"unknown calculate_strategy {calculate_strategy!r}")
 
 
+def block_stats_step(grad: np.ndarray, calculate_strategy: str = "mean_abs",
+                     block: int = BLOCK) -> np.ndarray:
+    """Per-step ACCUMULABLE form of block_stats (per_step_stats mode).
+
+    mean_abs is abs-of-mean, and the block mean commutes with summation
+    over warm-up steps: sum_t mean(g_t) == mean(sum_t g_t). Accumulating
+    the SIGNED block mean here and applying abs once at selection time
+    (block_stats_final) therefore reproduces the reference's
+    stat-of-summed-grads (smt_helper.py:233-239 over fine_tune.py:716
+    grad sums) EXACTLY, at the same (R/256, C/256) accumulator memory.
+    The other reducers apply abs inside the per-step stat, which does not
+    commute with the step sum — those accumulate the stat itself and stay
+    documented approximations of grad_sum.
+    """
+    if calculate_strategy == "mean_abs":
+        r, c = grad.shape
+        if r % block or c % block:
+            raise ValueError(
+                f"grad shape {grad.shape} not divisible by block {block}")
+        return grad.reshape(r // block, block, c // block, block).mean(axis=(1, 3))
+    return block_stats(grad, calculate_strategy, block)
+
+
+def block_stats_final(acc: np.ndarray,
+                      calculate_strategy: str = "mean_abs") -> np.ndarray:
+    """Finalize a block_stats_step accumulator into selection saliency."""
+    if calculate_strategy == "mean_abs":
+        return _namespace(acc).abs(acc)
+    return acc
+
+
 def channel_stats(act: np.ndarray, calculate_strategy: str = "mean_abs") -> np.ndarray:
     """Per-input-channel saliency of accumulated |activation| (S, C) -> (C,).
 

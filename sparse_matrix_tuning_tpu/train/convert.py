@@ -34,11 +34,22 @@ from sparse_matrix_tuning_tpu.config import SMTConfig
 from sparse_matrix_tuning_tpu.models.llama import ATTN_TARGETS, MLP_TARGETS
 from sparse_matrix_tuning_tpu.smt.plan import SMTPlan, parse_key
 from sparse_matrix_tuning_tpu.smt.select import (
-    block_stats, channel_stats, count_total_blocks, num_selected_blocks,
-    select_channels, select_submatrices,
+    block_stats, block_stats_final, channel_stats, count_total_blocks,
+    num_selected_blocks, select_channels, select_submatrices,
 )
 
 ATTENTION_CALCULATE_STRATEGY = "mean_abs"  # reference default-arg quirk
+
+
+def harvest_strategy(cfg: SMTConfig, module: str) -> str:
+    """Per-module saliency reducer at harvest time: attention modules use
+    the reference's default-arg mean_abs (fine_tune.py:306-313) unless
+    no_limit_mixture merges the budgets (then everything uses the
+    configured strategy). Shared by the unrolled/scan harvest steps and
+    the per_step_stats finalization so they can never disagree."""
+    return (cfg.calculate_strategy
+            if (module not in ATTN_TARGETS or cfg.no_limit_mixture)
+            else ATTENTION_CALCULATE_STRATEGY)
 
 # every per-layer matmul that is frozen (or mostly frozen) after conversion
 LAYER_LINEARS = ATTN_TARGETS + ("o_proj",) + MLP_TARGETS
@@ -131,12 +142,16 @@ def compute_matrix_selection(cfg: SMTConfig, acc: Dict[str, jax.Array],
     n_mlp = num_selected_blocks(cfg.downsample_mlp_blocks_ratio, total_blocks)
 
     # device-side reduction to tiny per-block stats, then host top-k.
-    # In per_step_stats mode the accumulators already hold the reduced
-    # stats (accumulated with the per-module strategy, incl. the attention
-    # mean_abs quirk), so the strategy argument is moot there.
+    # In per_step_stats mode the accumulators hold per-step stats reduced
+    # with the per-module harvest strategy (incl. the attention mean_abs
+    # quirk), so the strategy argument is moot there — only the
+    # finalization (abs over the signed mean_abs running mean,
+    # select.block_stats_final) remains.
     def stats_of(strategy):
         if cfg.saliency_accumulation == "per_step_stats":
-            return {ks: np.asarray(g) for ks, g in acc.items()}
+            return {ks: np.asarray(block_stats_final(
+                        g, harvest_strategy(cfg, parse_key(ks)[0])))
+                    for ks, g in acc.items()}
         return {ks: np.asarray(jax.jit(block_stats, static_argnums=(1,))(g, strategy))
                 for ks, g in acc.items()}
 

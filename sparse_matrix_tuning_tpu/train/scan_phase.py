@@ -159,11 +159,9 @@ def build_scan_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
     """Scan twin of steps.build_warmup_step: full-FT step + per-module
     stacked saliency harvest (unclipped averaged grads, reference
     fine_tune.py:716 quirk preserved)."""
-    from sparse_matrix_tuning_tpu.smt.select import block_stats
+    from sparse_matrix_tuning_tpu.smt.select import block_stats_step
     from sparse_matrix_tuning_tpu.smt.optimizer import full_ft_wd_mask
-    from sparse_matrix_tuning_tpu.models.llama import ATTN_TARGETS
-    from sparse_matrix_tuning_tpu.train.convert import (
-        ATTENTION_CALCULATE_STRATEGY)
+    from sparse_matrix_tuning_tpu.train.convert import harvest_strategy
     from sparse_matrix_tuning_tpu.train.steps import (
         accumulated_value_and_grad, _cast_tree)
 
@@ -196,12 +194,10 @@ def build_scan_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
         new_state = dict(state)
         acc = {}
         for mod in state["acc"]:
-            strat = (cfg.calculate_strategy
-                     if (mod not in ATTN_TARGETS or cfg.no_limit_mixture)
-                     else ATTENTION_CALCULATE_STRATEGY)
+            strat = harvest_strategy(cfg, mod)
             g3 = grads["layers_stacked"][mod].astype(jnp.float32)
             acc[mod] = state["acc"][mod] + jax.vmap(
-                lambda g, s=strat: block_stats(g, s))(g3)
+                lambda g, s=strat: block_stats_step(g, s))(g3)
         new_state["acc"] = acc
 
         grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
@@ -267,11 +263,9 @@ def build_scan_channel_warmup_step(cfg: SMTConfig,
     (reference `continue` at :708); pad positions masked like the unrolled
     step. per_step_stats only (same restriction as the matrix scan warm-up:
     the (S, C) positional form needs position-resolved sums)."""
-    from sparse_matrix_tuning_tpu.models.llama import (
-        ATTN_TARGETS, causal_lm_loss)
+    from sparse_matrix_tuning_tpu.models.llama import causal_lm_loss
     from sparse_matrix_tuning_tpu.smt.select import channel_stats
-    from sparse_matrix_tuning_tpu.train.convert import (
-        ATTENTION_CALCULATE_STRATEGY)
+    from sparse_matrix_tuning_tpu.train.convert import harvest_strategy
     from sparse_matrix_tuning_tpu.train.steps import (
         _cast_tree, _wants_channel)
 
@@ -280,10 +274,7 @@ def build_scan_channel_warmup_step(cfg: SMTConfig,
     def tap_reduce(module: str, tap: jax.Array):
         if not _wants_channel(cfg, module):
             return None  # dropped from the scan ys entirely
-        strat = (cfg.calculate_strategy
-                 if (module not in ATTN_TARGETS or cfg.no_limit_mixture)
-                 else ATTENTION_CALCULATE_STRATEGY)
-        return channel_stats(tap, strat)  # (C,)
+        return channel_stats(tap, harvest_strategy(cfg, module))  # (C,)
 
     def step(state: Dict, batch: Dict) -> tuple:
         params = _cast_tree(state["master"], param_dtype)

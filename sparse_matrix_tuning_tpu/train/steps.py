@@ -187,9 +187,11 @@ def resolve_saliency_accumulation(cfg: SMTConfig, master) -> str:
             print_rank_0(
                 "[smt] saliency_accumulation=auto -> per_step_stats "
                 "(grad_sum accumulators would exceed "
-                f"{SALIENCY_AUTO_GRAD_SUM_LIMIT >> 30} GiB; score is "
-                "sum-of-step-stats, not stat-of-summed-grads — exact for "
-                "channel mean_abs/abs_mean/L1, approximate otherwise)")
+                f"{SALIENCY_AUTO_GRAD_SUM_LIMIT >> 30} GiB; exact vs "
+                "grad_sum for matrix mean_abs — signed-mean accumulation, "
+                "select.block_stats_step — and channel "
+                "mean_abs/abs_mean/L1; approximate for the abs-inside "
+                "reducers)")
     return cfg.saliency_accumulation
 
 
@@ -306,16 +308,13 @@ def build_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
             # saliency accumulates the UNCLIPPED averaged grad, as the
             # reference harvests before optimizer clipping (fine_tune.py:716)
             if cfg.saliency_accumulation == "per_step_stats":
-                from sparse_matrix_tuning_tpu.smt.select import block_stats
+                from sparse_matrix_tuning_tpu.smt.select import block_stats_step
                 from sparse_matrix_tuning_tpu.train.convert import (
-                    ATTENTION_CALCULATE_STRATEGY)
+                    harvest_strategy)
 
                 def per_step(ks):
-                    module = ks.split(".", 1)[1]
-                    strat = (cfg.calculate_strategy
-                             if (module not in ATTN_TARGETS or cfg.no_limit_mixture)
-                             else ATTENTION_CALCULATE_STRATEGY)
-                    return block_stats(_target_grad(grads, ks), strat)
+                    strat = harvest_strategy(cfg, ks.split(".", 1)[1])
+                    return block_stats_step(_target_grad(grads, ks), strat)
 
                 new_state["acc"] = {ks: state["acc"][ks] + per_step(ks)
                                     for ks in state["acc"]}
@@ -382,11 +381,8 @@ def build_channel_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig) -> Callabl
             if cfg.saliency_accumulation == "per_step_stats":
                 from sparse_matrix_tuning_tpu.smt.select import channel_stats
                 from sparse_matrix_tuning_tpu.train.convert import (
-                    ATTENTION_CALCULATE_STRATEGY)
-                module = ks.split(".", 1)[1]
-                strat = (cfg.calculate_strategy
-                         if (module not in ATTN_TARGETS or cfg.no_limit_mixture)
-                         else ATTENTION_CALCULATE_STRATEGY)
+                    harvest_strategy)
+                strat = harvest_strategy(cfg, ks.split(".", 1)[1])
                 new_act[ks] = acc + channel_stats(tap, strat)  # (C,)
                 continue
             pad = acc.shape[0] - tap.shape[0]

@@ -118,3 +118,14 @@ def test_per_step_stats_channel_mode():
     from sparse_matrix_tuning_tpu.train.steps import init_warmup_state
     state = init_warmup_state(init_params(jax.random.PRNGKey(0), CFG), cfg)
     assert state["act_acc"]["0.gate_proj"].shape == (256,)
+
+
+def test_per_step_stats_mean_abs_selection_matches_grad_sum():
+    """Round-4 exactness: with the default mean_abs strategy (and the
+    attention mean_abs quirk), per_step_stats accumulates signed block
+    means (select.block_stats_step), so the selection is identical to the
+    reference-exact grad_sum mode — the auto policy's at-scale fallback no
+    longer changes which blocks are picked."""
+    t_ps, _ = run(smt_cfg(saliency_accumulation="per_step_stats"), n_steps=4)
+    t_gs, _ = run(smt_cfg(saliency_accumulation="grad_sum"), n_steps=4)
+    assert t_ps.plan.fingerprint() == t_gs.plan.fingerprint()

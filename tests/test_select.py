@@ -114,3 +114,34 @@ def test_descending_order_within_tensor():
     s = np.array([[1.0, 3.0], [2.0, 0.5]], np.float32)
     sel = select_submatrices({("q_proj", 0): s}, n=3)
     assert sel[("q_proj", 0)] == [(0, 1), (1, 0), (0, 0)]
+
+
+def test_block_stats_step_mean_abs_commutes_with_step_sum():
+    """per_step_stats exactness (round 4): accumulating the SIGNED block
+    mean per step and finalizing with abs reproduces block_stats of the
+    summed grads exactly — including under cancellation, where the old
+    sum-of-|mean| form diverges."""
+    from sparse_matrix_tuning_tpu.smt.select import (
+        block_stats_final, block_stats_step)
+
+    rng = np.random.default_rng(0)
+    # strong cancellation across steps: g2 ~ -g1 + noise
+    g1 = rng.standard_normal((2 * B, B)).astype(np.float32)
+    g2 = (-g1 + 0.01 * rng.standard_normal(g1.shape)).astype(np.float32)
+
+    acc = block_stats_step(g1, "mean_abs") + block_stats_step(g2, "mean_abs")
+    exact = block_stats(g1 + g2, "mean_abs")
+    np.testing.assert_allclose(block_stats_final(acc, "mean_abs"), exact,
+                               rtol=1e-5, atol=1e-9)
+
+    # the abs-inside accumulation (what the old code did) is NOT exact here
+    old = block_stats(g1, "mean_abs") + block_stats(g2, "mean_abs")
+    assert not np.allclose(old, exact, rtol=0.2)
+
+    # non-commuting reducers pass through unchanged (stat == step form,
+    # final is identity)
+    for strat in ("abs_mean", "L1", "L2"):
+        np.testing.assert_array_equal(block_stats_step(g1, strat),
+                                      block_stats(g1, strat))
+        s = block_stats(g1, strat)
+        np.testing.assert_array_equal(block_stats_final(s, strat), s)
