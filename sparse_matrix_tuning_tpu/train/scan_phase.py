@@ -71,15 +71,16 @@ def resolve_scan_warmup(cfg: SMTConfig, model_cfg: LlamaConfig):
     "channel" (forward-only stacked activation harvest,
     build_scan_channel_warmup_step), or None (unrolled warm-up).
 
-    Engages with the sparse-phase scan conditions plus per_step_stats
-    saliency — the accumulation mode the auto policy already picks at
-    exactly the depths where unrolled compile bites
-    (steps.resolve_saliency_accumulation). grad_sum (reference-exact full
-    grad sums) stays unrolled: that regime is small models.
+    Engages with the sparse-phase scan conditions, for BOTH saliency
+    accumulation modes: per_step_stats harvests tiny reduced stats inside
+    the scanned step, and grad_sum (reference-exact full accumulators,
+    fine_tune.py:729-740) accumulates the stacked (L, ...) fp32 grad /
+    positional-activation sums directly — the stacked warm-up grads are
+    exactly the per-layer grads, so selection matches the unrolled
+    grad_sum path while compile time stays O(1-layer)
+    (tests/test_scan_phase.py::test_scan_warmup_grad_sum_matches_unrolled).
 
     Call AFTER resolve_saliency_accumulation has resolved "auto"."""
-    if cfg.saliency_accumulation != "per_step_stats":
-        return None
     if cfg.matrix_sparsity:  # matrix/channel are mutually exclusive (config)
         return "matrix" if resolve_scan_layers(cfg, model_cfg,
                                                "matrix") else None
@@ -101,12 +102,15 @@ def stack_layer_tree(layers: Dict[str, Dict], n_layers: int,
 
 def init_scan_warmup_state(params, cfg: SMTConfig,
                            model_cfg: LlamaConfig) -> Dict:
-    """Stacked twin of steps.init_warmup_state. Matrix mode
-    (per_step_stats): acc is {module: (L, RB, CB) fp32} plus the full-FT
-    optimizer state. Channel mode: act_acc is {module: (L, C) fp32} and
-    NO optimizer/adam state at all — the channel warm-up is forward-only
-    (reference fine_tune.py:708 `continue`), so m/v of the full master
-    (2x fp32 params, ~560 GB at 70B) would be pure waste."""
+    """Stacked twin of steps.init_warmup_state. Matrix mode: acc is
+    {module: (L, RB, CB) fp32} per-step stats, or the full {module:
+    (L, R, C) fp32} grad sums in grad_sum mode (reference-exact,
+    fine_tune.py:729-740), plus the full-FT optimizer state. Channel
+    mode: act_acc is {module: (L, C) fp32} stats or (L, S, C) positional
+    sums in grad_sum mode, and NO optimizer/adam state at all — the
+    channel warm-up is forward-only (reference fine_tune.py:708
+    `continue`), so m/v of the full master (2x fp32 params, ~560 GB at
+    70B) would be pure waste."""
     from sparse_matrix_tuning_tpu.models.llama import TARGET_MODULES
     from sparse_matrix_tuning_tpu.train.steps import (
         _wants_channel, _wants_saliency)
@@ -122,7 +126,13 @@ def init_scan_warmup_state(params, cfg: SMTConfig,
             if (w.ndim != 3 or mod not in TARGET_MODULES
                     or not _wants_channel(cfg, mod)):
                 continue
-            act[mod] = jnp.zeros((L, w.shape[2]), jnp.float32)
+            if cfg.saliency_accumulation == "grad_sum":
+                # positional (S, C) |activation| sums per layer, exactly
+                # the unrolled grad_sum accumulators (steps.py)
+                act[mod] = jnp.zeros((L, cfg.max_seq_len, w.shape[2]),
+                                     jnp.float32)
+            else:
+                act[mod] = jnp.zeros((L, w.shape[2]), jnp.float32)
         return {"master": master, "act_acc": act,
                 "count": jnp.zeros((), jnp.int32),
                 "step": jnp.zeros((), jnp.int32)}
@@ -148,8 +158,11 @@ def init_scan_warmup_state(params, cfg: SMTConfig,
             continue
         if w.shape[1] % BLOCK or w.shape[2] % BLOCK:
             continue  # excluded from selection (steps.init_warmup_state)
-        acc[mod] = jnp.zeros((L, w.shape[1] // BLOCK, w.shape[2] // BLOCK),
-                             jnp.float32)
+        if cfg.saliency_accumulation == "grad_sum":
+            acc[mod] = jnp.zeros(w.shape, jnp.float32)  # full grad sums
+        else:
+            acc[mod] = jnp.zeros((L, w.shape[1] // BLOCK,
+                                  w.shape[2] // BLOCK), jnp.float32)
     state["acc"] = acc
     return state
 
@@ -194,10 +207,16 @@ def build_scan_warmup_step(cfg: SMTConfig, model_cfg: LlamaConfig,
         new_state = dict(state)
         acc = {}
         for mod in state["acc"]:
-            strat = harvest_strategy(cfg, mod)
             g3 = grads["layers_stacked"][mod].astype(jnp.float32)
-            acc[mod] = state["acc"][mod] + jax.vmap(
-                lambda g, s=strat: block_stats_step(g, s))(g3)
+            if cfg.saliency_accumulation == "grad_sum":
+                # reference-exact: accumulate the full (L, R, C) grad sum
+                # (fine_tune.py:729-740); the stacked grad IS the per-layer
+                # grad, so selection matches the unrolled grad_sum path
+                acc[mod] = state["acc"][mod] + g3
+            else:
+                strat = harvest_strategy(cfg, mod)
+                acc[mod] = state["acc"][mod] + jax.vmap(
+                    lambda g, s=strat: block_stats_step(g, s))(g3)
         new_state["acc"] = acc
 
         grads, gnorm = clip_by_global_norm(grads, adam_cfg.grad_clip)
@@ -261,8 +280,9 @@ def build_scan_channel_warmup_step(cfg: SMTConfig,
     warm-up traces L program copies, and the reference runs L sequential
     per-layer hook passes (fine_tune.py:586-708). Forward-only, no training
     (reference `continue` at :708); pad positions masked like the unrolled
-    step. per_step_stats only (same restriction as the matrix scan warm-up:
-    the (S, C) positional form needs position-resolved sums)."""
+    step. In grad_sum mode each layer's tap is zero-padded to the
+    (max_seq_len, C) positional form instead of being reduced, matching
+    the unrolled grad_sum accumulators exactly (steps.py)."""
     from sparse_matrix_tuning_tpu.models.llama import causal_lm_loss
     from sparse_matrix_tuning_tpu.smt.select import channel_stats
     from sparse_matrix_tuning_tpu.train.convert import harvest_strategy
@@ -274,6 +294,9 @@ def build_scan_channel_warmup_step(cfg: SMTConfig,
     def tap_reduce(module: str, tap: jax.Array):
         if not _wants_channel(cfg, module):
             return None  # dropped from the scan ys entirely
+        if cfg.saliency_accumulation == "grad_sum":
+            pad = cfg.max_seq_len - tap.shape[0]
+            return jnp.pad(tap, ((0, pad), (0, 0))) if pad > 0 else tap
         return channel_stats(tap, harvest_strategy(cfg, module))  # (C,)
 
     def step(state: Dict, batch: Dict) -> tuple:

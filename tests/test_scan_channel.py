@@ -165,11 +165,11 @@ def channel_cfg(**kw):
     return smt_cfg(**base)
 
 
-def _train(scan: str, n=8, fq="none", mesh=None, seed=0):
+def _train(scan: str, n=8, fq="none", mesh=None, seed=0, **kw):
     from sparse_matrix_tuning_tpu.models.llama import init_params
     from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
 
-    cfg = channel_cfg(scan_layers=scan, frozen_quant=fq)
+    cfg = channel_cfg(scan_layers=scan, frozen_quant=fq, **kw)
     params = init_params(jax.random.PRNGKey(0), CFG)
     t = SMTTrainer(cfg, CFG, params, total_steps=n, mesh=mesh)
     losses = [float(t.train_step(b)["loss"])
@@ -186,6 +186,30 @@ def test_channel_scan_matches_unrolled_bf16():
     np.testing.assert_allclose(l_s[:2], l_u[:2], rtol=1e-6)  # warm-up
     np.testing.assert_allclose(l_s[2:], l_u[2:], rtol=2e-3)
     assert l_s[-1] < l_s[0]
+
+
+def test_channel_scan_grad_sum_matches_unrolled():
+    """Channel grad_sum (positional (S, C) |activation| sums — the exact
+    unrolled/reference accumulators) through the scan warm-up: taps are
+    zero-padded to (max_seq_len, C) inside the scan body instead of being
+    reduced; selection and losses match the unrolled grad_sum run."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    cfg = channel_cfg(scan_layers="on", saliency_accumulation="grad_sum")
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    t_s = SMTTrainer(cfg, CFG, params, total_steps=8)
+    assert t_s._scan_warmup == "channel"
+    for mod, a in t_s.state["act_acc"].items():  # (L, S, C) positional
+        w = t_s.state["master"]["layers_stacked"][mod]
+        assert a.shape == (w.shape[0], cfg.max_seq_len, w.shape[2])
+    l_s = [float(t_s.train_step(b)["loss"])
+           for b in make_batches(8, bsz=8)]
+    t_u, l_u = _train("off", saliency_accumulation="grad_sum")
+    assert t_s._scan and not t_u._scan
+    assert t_s.plan.fingerprint() == t_u.plan.fingerprint()
+    np.testing.assert_allclose(l_s[:2], l_u[:2], rtol=1e-6)
+    np.testing.assert_allclose(l_s[2:], l_u[2:], rtol=2e-3)
 
 
 def test_channel_scan_q8_offload_runs_and_exports():

@@ -10,11 +10,11 @@ import pytest
 from test_train_e2e import CFG, make_batches, smt_cfg
 
 
-def _train(scan: str, n=8, fq="none", mesh=None, seed=0):
+def _train(scan: str, n=8, fq="none", mesh=None, seed=0, **kw):
     from sparse_matrix_tuning_tpu.models.llama import init_params
     from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
 
-    cfg = smt_cfg(scan_layers=scan, frozen_quant=fq)
+    cfg = smt_cfg(scan_layers=scan, frozen_quant=fq, **kw)
     params = init_params(jax.random.PRNGKey(0), CFG)
     t = SMTTrainer(cfg, CFG, params, total_steps=n, mesh=mesh)
     losses = [float(t.train_step(b)["loss"])
@@ -82,7 +82,34 @@ def test_scan_warmup_dropout_matches_unrolled():
     assert t_s.plan.fingerprint() == t_u.plan.fingerprint()
 
 
+def test_scan_warmup_grad_sum_matches_unrolled():
+    """grad_sum (reference-exact full fp32 accumulators, fine_tune.py:
+    729-740) rides the scan warm-up too: stacked (L, R, C) grad sums —
+    the stacked grad IS the per-layer grad — so selection and losses
+    match the unrolled grad_sum run while compile stays O(1-layer)."""
+    from sparse_matrix_tuning_tpu.models.llama import init_params
+    from sparse_matrix_tuning_tpu.train.trainer import SMTTrainer
+
+    cfg = smt_cfg(scan_layers="on", saliency_accumulation="grad_sum")
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    t_s = SMTTrainer(cfg, CFG, params, total_steps=8)
+    assert t_s._scan_warmup == "matrix"
+    for mod, a in t_s.state["acc"].items():  # full sums, not block stats
+        assert a.shape == t_s.state["master"]["layers_stacked"][mod].shape
+    l_s = [float(t_s.train_step(b)["loss"])
+           for b in make_batches(8, bsz=8)]
+    t_u, l_u = _train("off", saliency_accumulation="grad_sum")
+    assert t_s._scan and not t_u._scan
+    assert t_s.plan.fingerprint() == t_u.plan.fingerprint()
+    np.testing.assert_allclose(l_s[:2], l_u[:2], rtol=1e-6)
+    np.testing.assert_allclose(l_s[2:], l_u[2:], rtol=2e-3)
+    assert l_s[-1] < l_s[0]
+
+
 def test_scan_export_matches_unrolled():
+    # atol 5e-4: since grad_sum rides the scan warm-up, BOTH phases differ
+    # from the unrolled run by fp association only (scan vs unrolled layer
+    # loop); tiny weights can drift ~2e-4 over 8 Adam steps
     t_s, _ = _train("on")
     t_u, _ = _train("off")
     p_s = t_s.merged_params()
@@ -93,7 +120,7 @@ def test_scan_export_matches_unrolled():
     for path, v in flat_s:
         np.testing.assert_allclose(
             np.asarray(v, np.float32), np.asarray(flat_u[path], np.float32),
-            rtol=2e-3, atol=1e-4, err_msg=str(path))
+            rtol=2e-3, atol=5e-4, err_msg=str(path))
 
 
 def test_scan_q8_offload_and_export():
