@@ -282,7 +282,10 @@ def decode_params_from_scan(state, model_cfg: LlamaConfig,
                     "untied lm_head was host-offloaded; pass host_frozen "
                     "(trainer._host_frozen) so the exact bf16 head can be "
                     "restored for decoding")
-            p["lm_head"] = jnp.asarray(host_frozen["lm_head"])
+            from sparse_matrix_tuning_tpu.train.convert import (
+                host_frozen_global)
+            p["lm_head"] = jnp.asarray(
+                host_frozen_global(host_frozen["lm_head"]))
     if frozen_quant == "int4":
         from sparse_matrix_tuning_tpu.ops.pallas.q4_matmul import (
             LANE, build_scale_strips, pad_packed)

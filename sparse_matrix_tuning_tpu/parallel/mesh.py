@@ -195,11 +195,25 @@ def state_shardings(state, mesh: Mesh, plan_mode: Optional[str] = None):
                 return _param_leaf_spec(keys[1:])
             return _trainable_spec(leaf)
         if top == "acc":
-            if "." not in keys[1]:  # scan warm-up: (L, RB, CB) stats, tiny
-                return P()
+            if "." not in keys[1]:
+                # scan warm-up (keyed by bare module name): grad_sum holds
+                # FULL weight-sized (L, R, C) fp32 sums — they must shard
+                # like the stacked weight (the reference keeps grad sums off
+                # the accelerator entirely, fine_tune.py:729-740; replicating
+                # them in HBM would defeat FSDP). per_step_stats (L, RB, CB)
+                # gets the same spec: tiny either way, and _fit drops any
+                # axis that does not divide.
+                return P(None, *_weight_pspec(keys[1]))
             _, module = keys[1].split(".", 1)
             return _weight_pspec(module)
         if top == "act_acc":
+            # channel saliency. 3-D = scan grad_sum (L, S, C) positional
+            # activation sums — the largest accumulator in the system
+            # (~12 GB at 8B/seq-2048): shard S over fsdp and C over tensor
+            # so it splits on pure-fsdp AND tensor meshes. 2-D layouts
+            # ((S, C) unrolled, (L, C) scan stats) keep C on tensor.
+            if getattr(leaf, "ndim", 0) == 3:
+                return P(None, "fsdp", "tensor")
             return P(None, "tensor")
         if top == "trainable":
             return _trainable_spec(leaf)

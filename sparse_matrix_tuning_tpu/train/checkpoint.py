@@ -52,11 +52,18 @@ def save_checkpoint(path: str, trainer) -> None:
     os.makedirs(path, exist_ok=True)
     _ckptr().save(os.path.join(os.path.abspath(path), "state"), trainer.state,
                   force=True)
+    host = getattr(trainer, "_host_frozen", None)
+    if host is not None:
+        from sparse_matrix_tuning_tpu.train.convert import (
+            HostShards, host_frozen_global)
+        if any(isinstance(v, HostShards) for v in host.values()):
+            # multi-process offload: reassembling is a COLLECTIVE — every
+            # process participates before the rank-0 gate
+            host = {k: host_frozen_global(v) for k, v in host.items()}
     if jax.process_index() != 0:
         return
-    if getattr(trainer, "_host_frozen", None) is not None:
-        # offload is single-process by construction (frozen_offload_active)
-        _save_host_frozen(path, trainer._host_frozen)
+    if host is not None:
+        _save_host_frozen(path, host)
     meta = {"phase": trainer.phase, "step": trainer.step,
             "total_steps": trainer.total_steps,
             "best_eval_loss": trainer.best_eval_loss}

@@ -275,17 +275,84 @@ def convert(cfg: SMTConfig, warmup_state: Dict, all_2d_shapes,
     return plan, state
 
 
+class HostShards:
+    """Per-process host store of a globally-sharded array: each process
+    keeps ONLY its addressable shards in host RAM (multi-process frozen
+    host offload, VERDICT r4 next #7 — at 70B/8-way this is what removes
+    ~17.5 GB of compute-dead bf16 weights per device without any host
+    holding the full tensor). `restore()` reassembles the global sharded
+    jax.Array on its original devices (transient HBM = one module's
+    per-device shard) for export/checkpoint gathers.
+
+    Reference analogue: ZeRO CPU offload keeps each rank's partition in
+    host RAM (deepspeed_helpers.py:62-75)."""
+
+    def __init__(self, arr: jax.Array):
+        self.shape = tuple(arr.shape)
+        self.dtype = arr.dtype
+        self.sharding = arr.sharding
+        self.shards = {}
+        for s in arr.addressable_shards:
+            key = self._key(s.index)
+            if key not in self.shards:  # replicas hold identical data
+                self.shards[key] = np.asarray(s.data)
+
+    def _key(self, index):
+        return tuple((sl.start or 0,
+                      sl.stop if sl.stop is not None else dim)
+                     for sl, dim in zip(index, self.shape))
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.shape))
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def restore(self) -> jax.Array:
+        return jax.make_array_from_callback(
+            self.shape, self.sharding,
+            lambda idx: self.shards[self._key(idx)])
+
+
+def host_frozen_global(entry) -> np.ndarray:
+    """Full host value of a host-frozen store entry — plain np passes
+    through; HostShards reassembles on device and allgathers (collective:
+    every process must call this)."""
+    if isinstance(entry, HostShards):
+        from sparse_matrix_tuning_tpu.train.scan_phase import _host_global
+        return _host_global(entry.restore())
+    return np.asarray(entry)
+
+
 def frozen_offload_active(cfg: SMTConfig, mode: str, mesh,
                           scan: bool = False) -> bool:
-    """int8 frozen base + single process/device: the bf16 dense layer
-    weights are dead in sparse-phase compute (planned linears run through
-    wq/sw/base with the exact block/column correction, frozen ones through
-    wq/sw), so they move to HOST memory and HBM holds only the int8 copy.
-    Disabled on meshes: there the dense weights are fsdp-sharded (cheap per
-    chip) and the multi-host gather/save machinery expects them on device."""
-    return (cfg.frozen_host_offload
-            and resolve_frozen_quant(cfg, mode, scan=scan) == "int8"
-            and mesh is None and jax.process_count() == 1)
+    """int8 frozen base: the bf16 dense layer weights are dead in
+    sparse-phase compute (planned linears run through wq/sw/base with the
+    exact block/column correction, frozen ones through wq/sw), so they
+    move to HOST memory and HBM holds only the int8 copy.
+
+    Single process/device: the whole tensor moves (np array). On meshes,
+    the SCAN layout offloads too — each process keeps its addressable
+    shards (HostShards above), cutting the 70B 8-way per-device peak by
+    the stacked bf16 footprint. The unrolled layout stays device-resident
+    on meshes (shallow models — the per-chip cost is small and not worth
+    the extra machinery)."""
+    if not (cfg.frozen_host_offload
+            and resolve_frozen_quant(cfg, mode, scan=scan) == "int8"):
+        return False
+    if mesh is None and jax.process_count() == 1:
+        return True
+    return scan
+
+
+def _to_host_store(w):
+    """np array for addressable arrays; HostShards when shards span other
+    processes (each process keeps only what it owns)."""
+    if isinstance(w, jax.Array) and not w.is_fully_addressable:
+        return HostShards(w)
+    return np.asarray(w)
 
 
 def offload_lm_head(params: Dict, host: Dict, keep_host: bool) -> Dict:
@@ -299,7 +366,7 @@ def offload_lm_head(params: Dict, host: Dict, keep_host: bool) -> Dict:
         return params
     params = dict(params)
     if keep_host:
-        host["lm_head"] = np.asarray(params["lm_head"])
+        host["lm_head"] = _to_host_store(params["lm_head"])
     params["lm_head"] = jnp.zeros((1,), params["lm_head"].dtype)
     return params
 

@@ -74,17 +74,33 @@ def _run_scenario(scenario: str, out_dir: str):
                       num_attention_channel=8, num_mlp_channel=8,
                       saliency_accumulation="per_step_stats", smt_lr=1e-4)
     else:
-        cfg = smt_cfg()
+        # the base scan scenario PINS grad_sum saliency: the stacked
+        # (L, R, C) fp32 accumulators ride the scan warm-up (round 4) and
+        # their conversion-event fetch must allgather on multi-process runs
+        # (_host_global) — the exact path the round-4 regression broke.
+        cfg = smt_cfg(saliency_accumulation="grad_sum")
     cfg.output_dir = out_dir
     model_cfg = CFG if scenario == "unrolled" else _scan_model_cfg()
     params = init_params(jax.random.PRNGKey(0), model_cfg)
     trainer = SMTTrainer(cfg, model_cfg, params, total_steps=STEPS, mesh=mesh)
+    if scenario == "scan":
+        assert trainer._scan_warmup == "matrix", \
+            "grad_sum scan warm-up did not engage at 12 layers"
     batches = make_batches(STEPS, bsz=8)
     losses = [float(trainer.train_step(b)["loss"]) for b in batches]
     assert trainer.phase == "sparse"
+    from sparse_matrix_tuning_tpu.train.convert import HostShards
+    host = trainer._host_frozen
     res = {"losses": losses, "fingerprint": trainer.plan.fingerprint(),
            "scan": trainer._scan, "q8": "q" in trainer.state,
-           "q_head": "q_head" in trainer.state, "mode": trainer.plan.mode}
+           "q_head": "q_head" in trainer.state, "mode": trainer.plan.mode,
+           # multi-process frozen host offload (VERDICT r4 next #7): on a
+           # multi-PROCESS mesh the store must hold per-process HostShards
+           # (each process keeps only its addressable shards), on a single
+           # process full np arrays
+           "offload": host is not None,
+           "offload_sharded": bool(host) and any(
+               isinstance(v, HostShards) for v in host.values())}
     if scenario == "unrolled":
         ppl, eval_loss = trainer.evaluate(make_batches(2, bsz=8, seed=3))
         res["eval_loss"] = eval_loss
@@ -196,6 +212,12 @@ def run(scenario: str):
     assert res["scan"] and ref["scan"], "scan phase did not engage"
     if scenario == "scan_q8":
         assert res["q8"] and res["q_head"], "int8/q_head did not engage"
+        assert res["offload"] and ref["offload"], \
+            "frozen host offload did not engage on the mesh"
+        assert res["offload_sharded"], \
+            "2-process offload store is not HostShards (per-process shards)"
+        assert not ref["offload_sharded"], \
+            "single-process offload store unexpectedly sharded"
     if scenario == "scan_channel":
         assert res["mode"] == "channel", "channel mode did not engage"
     mp = _load_safetensors(os.path.join(work, "final", "model.safetensors"))
