@@ -105,13 +105,14 @@ def synth_plan(seed=0):
     return SMTPlan(mode="matrix", linears=linears)
 
 
-def abstract_state(plan, mesh):
+def abstract_state(plan, mesh, offload: bool = False):
     """The int8 scan sparse state at 70B dims as sharding-annotated
     ShapeDtypeStructs — layout mirrors scan_phase.build_scan_sparse_state
-    with frozen_quant=int8 + head_quant=int8. On a mesh the dense bf16
-    stacked weights STAY resident (host offload is single-process-only,
-    convert.frozen_offload_active) — the artifact reports that cost
-    honestly rather than assuming the single-chip offload."""
+    with frozen_quant=int8 + head_quant=int8. offload=True mirrors
+    convert.HostShards multi-process offload (round 5): the compute-dead
+    stacked bf16 weights become (L, 1) placeholders — each process keeps
+    its addressable shards in host RAM — cutting per-device HBM by the
+    stacked bf16 footprint."""
     from sparse_matrix_tuning_tpu.parallel.mesh import state_shardings
     from sparse_matrix_tuning_tpu.train.scan_phase import stack_plan_indices
 
@@ -120,7 +121,7 @@ def abstract_state(plan, mesh):
     stacked = {n: sds((L, H), jnp.bfloat16)
                for n in ("input_layernorm", "post_attention_layernorm")}
     for mod, (o, i) in MODS.items():
-        stacked[mod] = sds((L, o, i), jnp.bfloat16)
+        stacked[mod] = sds((L, 1) if offload else (L, o, i), jnp.bfloat16)
     q = {mod: {"wq": sds((L, o, i), jnp.int8), "sw": sds((L, o), jnp.float32)}
          for mod, (o, i) in MODS.items()}
     trainable = {mod: sds((L, meta["rb"].shape[1], 256, 256), jnp.float32)
@@ -128,7 +129,9 @@ def abstract_state(plan, mesh):
     state = {
         "params": {
             "embed_tokens": sds((V, H), jnp.bfloat16),
-            "lm_head": sds((V, H), jnp.bfloat16),
+            # int8 head: the untied bf16 lm_head is compute-dead and
+            # offloads with the layer weights (convert.offload_lm_head)
+            "lm_head": sds((1,) if offload else (V, H), jnp.bfloat16),
             "norm": sds((H,), jnp.bfloat16),
             "layers_stacked": stacked,
         },
@@ -150,9 +153,12 @@ def abstract_state(plan, mesh):
     return jax.tree.map(annotate, state, sh), sh
 
 
-def lower_70b_step(mesh_shape=(1, 8, 1)):
+def lower_70b_step(mesh_shape=(1, 8, 1), offload=False):
     """(b): AOT lower + compile the 70B scan sparse step; print XLA's
-    per-device memory accounting."""
+    per-device memory accounting. offload=True lowers the multi-process
+    host-offload variant (round 5: stacked bf16 weights in per-process
+    host RAM, VERDICT r4 next #7) — the per-device peak drops by the
+    stacked bf16 footprint (~17.5 GB at 8-way)."""
     from jax.sharding import NamedSharding
     from sparse_matrix_tuning_tpu.config import SMTConfig
     from sparse_matrix_tuning_tpu.models.llama import LlamaConfig
@@ -175,7 +181,7 @@ def lower_70b_step(mesh_shape=(1, 8, 1)):
     mesh = make_mesh(mesh_shape)
     set_compute_mesh(mesh)
     plan = synth_plan()
-    state, _ = abstract_state(plan, mesh)
+    state, _ = abstract_state(plan, mesh, offload=offload)
     bsh = NamedSharding(mesh, batch_pspec())
     batch = {k: jax.ShapeDtypeStruct((BSZ, SEQ), jnp.int32, sharding=bsh)
              for k in ("input_ids", "labels", "attention_mask")}
@@ -191,7 +197,7 @@ def lower_70b_step(mesh_shape=(1, 8, 1)):
     ma = compiled.memory_analysis()
     gb = 1 / 2**30
     out = {
-        "mesh": list(mesh_shape),
+        "mesh": list(mesh_shape), "host_offload": offload,
         "lower_s": round(t_lower, 1), "compile_s": round(t_compile, 1),
         "per_device_gb": {
             "arguments": round(ma.argument_size_in_bytes * gb, 2),
@@ -205,11 +211,145 @@ def lower_70b_step(mesh_shape=(1, 8, 1)):
         },
         "trainable_params": plan.trainable_params,
     }
-    print(f"(b) 70B scan sparse step over mesh {mesh_shape}: "
+    print(f"(b) 70B scan sparse step over mesh {mesh_shape}"
+          f"{' + host offload' if offload else ''}: "
           f"lower {t_lower:.0f}s, compile {t_compile:.0f}s, per-device "
           f"{json.dumps(out['per_device_gb'])}")
     set_compute_mesh(None)
     return out
+
+
+def warmup_state_bytes(fsdp_sizes=(4, 8)):
+    """(d): per-device bytes of the SCAN WARM-UP state (grad_sum saliency)
+    at 70B dims under the state sharding rules (VERDICT r4 next #2 /
+    weak #2): the stacked (L, R, C) fp32 grad-sum accumulators carry their
+    weight's sharding (parallel/mesh.py 'acc' specs), so per-device
+    warm-up memory must scale DOWN with fsdp — replicated accumulators
+    would be ~26 GB/device at 8B and ~260 GB at 70B (instant OOM; the
+    reference keeps grad sums off the accelerator entirely,
+    fine_tune.py:729-740). Pure arithmetic: ShapeDtypeStructs through
+    state_shardings + NamedSharding.shard_shape."""
+    from sparse_matrix_tuning_tpu.models.llama import TARGET_MODULES
+    from sparse_matrix_tuning_tpu.parallel.mesh import (
+        make_mesh, state_shardings)
+
+    sds = jax.ShapeDtypeStruct
+    stacked = {n: sds((L, H), jnp.float32)
+               for n in ("input_layernorm", "post_attention_layernorm")}
+    for mod, (o, i) in MODS.items():
+        stacked[mod] = sds((L, o, i), jnp.float32)
+    master = {"embed_tokens": sds((V, H), jnp.float32),
+              "lm_head": sds((V, H), jnp.float32),
+              "norm": sds((H,), jnp.float32),
+              "layers_stacked": stacked}
+    acc = {mod: sds((L,) + MODS[mod], jnp.float32) for mod in TARGET_MODULES}
+    state = {"master": master, "m": master, "v": master, "acc": acc,
+             "count": sds((), jnp.int32), "step": sds((), jnp.int32)}
+
+    def per_device_gb(mesh, group):
+        sh = state_shardings({group[0]: state[group[0]]}, mesh, None)
+        total = 0
+        for leaf, ns in zip(jax.tree.leaves(state[group[0]]),
+                            jax.tree.leaves(sh)):
+            shard = ns.shard_shape(leaf.shape)
+            total += int(np.prod(shard)) * leaf.dtype.itemsize
+        return total / 2**30
+
+    out = {}
+    for f_ in fsdp_sizes:
+        mesh = make_mesh((1, f_, 1), devices=jax.devices()[:f_])
+        out[f"fsdp{f_}"] = {
+            "acc_gb": round(per_device_gb(mesh, ["acc"]), 2),
+            "master_gb": round(per_device_gb(mesh, ["master"]), 2),
+            "adam_gb": round(2 * per_device_gb(mesh, ["m"]), 2),
+        }
+    a, b = [out[f"fsdp{f_}"]["acc_gb"] for f_ in fsdp_sizes]
+    assert b < a * 0.75, \
+        f"grad_sum accumulators do not shard down with fsdp: {out}"
+    print(f"(d) warm-up state per-device GB at 70B (grad_sum): "
+          f"{json.dumps(out)}")
+    return out
+
+
+def export_at_scale(Lp=2):
+    """(e): merged_params_from_scan at 70B WIDTHS, reduced depth Lp,
+    extrapolated x(L/Lp) — the trained-block scatter is vectorized per
+    layer (scan_phase._scatter_trained_layer) and layer slices stream
+    through _host_global one at a time, so time is linear in depth and
+    peak host RAM is bounded by output + one slice (VERDICT r4 next #6;
+    reference export is a cheap in-place scatter, smt.py:416-457)."""
+    import types
+    from sparse_matrix_tuning_tpu.smt.plan import SMTPlan
+    from sparse_matrix_tuning_tpu.train.scan_phase import (
+        merged_params_from_scan, stack_plan_indices)
+
+    full = synth_plan()
+    linears = {k: lp for k, lp in full.linears.items() if lp.layer < Lp}
+    plan = SMTPlan(mode="matrix", linears=linears)
+    idx = stack_plan_indices(plan, Lp)
+    key = jax.random.PRNGKey(0)
+    stacked, trainable = {}, {}
+    slice_bytes = 0
+    for mod, (o, i) in MODS.items():
+        key, sub = jax.random.split(key)
+        stacked[mod] = jnp.zeros((Lp, o, i), jnp.bfloat16)
+        slice_bytes += o * i * 2
+        if mod in idx:
+            n = idx[mod]["rb"].shape[1]
+            trainable[mod] = jax.random.normal(sub, (Lp, n, 256, 256),
+                                               jnp.float32)
+    stacked["input_layernorm"] = jnp.ones((Lp, H), jnp.bfloat16)
+    state = {"params": {"layers_stacked": stacked,
+                        "embed_tokens": jnp.zeros((V, H), jnp.bfloat16),
+                        "norm": jnp.ones((H,), jnp.bfloat16)},
+             "idx": idx, "trainable": trainable}
+    mcfg = types.SimpleNamespace(num_hidden_layers=Lp)
+    # baseline: the unavoidable device->host movement of the same bytes
+    # (export must materialise every weight on host regardless of SMT) —
+    # measured so the scatter/merge OVERHEAD is what the gate judges, not
+    # this box's single-core memcpy bandwidth
+    from sparse_matrix_tuning_tpu.train.scan_phase import _host_global
+    t0 = time.perf_counter()
+    for mod in stacked:
+        for l in range(Lp):
+            _host_global(stacked[mod][l])
+    t_copy = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    params = merged_params_from_scan(state, plan, mcfg)
+    dt = time.perf_counter() - t0
+    # spot-check one scattered block round-trips
+    mod = sorted(idx)[0]
+    meta = idx[mod]
+    l = 0
+    j = int(np.argmax(np.asarray(meta["valid"][l])))
+    rb, cb = int(meta["rb"][l, j]), int(meta["cb"][l, j])
+    w = params["layers"]["0"][mod]
+    got = w[rb * 256:(rb + 1) * 256, cb * 256:(cb + 1) * 256]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(trainable[mod][l, j].astype(jnp.bfloat16), np.float32))
+    overhead = max(dt - t_copy, 0.0)
+    est_overhead = overhead * (L / Lp)
+    out_bytes = slice_bytes * L + 2 * V * H * 2
+    gbps = slice_bytes * Lp / max(t_copy, 1e-9) / 1e9
+    res = {"depth_measured": Lp, "seconds_measured": round(dt, 2),
+           "seconds_copy_baseline": round(t_copy, 2),
+           "merge_overhead_s": round(overhead, 2),
+           "merge_overhead_at_70b_depth_est_s": round(est_overhead, 1),
+           "host_copy_gbps_this_box": round(gbps, 2),
+           "host_bytes_output_gb": round(out_bytes / 2**30, 1),
+           # streaming grain = one (O, I) module-layer slice (_host_global
+           # per layer, not per (L, O, I) stack)
+           "host_bytes_transient_gb": round(
+               max(o * i * 2 for o, i in MODS.values()) / 2**30, 2)}
+    # the gate judges the MERGE overhead (the per-block Python scatter this
+    # replaced was the bottleneck, VERDICT r4 weak #6) — the device->host
+    # copy itself is this box's single-core memcpy bandwidth (~1 GB/s here
+    # vs >=10 GB/s on a real TPU host) and is reported, not gated
+    assert est_overhead < 60, \
+        f"70B export merge overhead too slow: est {est_overhead:.0f}s"
+    print(f"(e) export at 70B widths: {json.dumps(res)}")
+    return res
 
 
 # candidate v5p-64-class factorizations (data, fsdp, tensor)
@@ -252,10 +392,15 @@ def check_divisibility(mesh_shapes=CANDIDATE_MESHES):
 
 def main():
     res = {"selection": selection_at_scale(),
-           "divisibility_failures": check_divisibility()}
+           "divisibility_failures": check_divisibility(),
+           "warmup_state_per_device_gb": warmup_state_bytes(),
+           "export": export_at_scale()}
     assert not res["divisibility_failures"], res["divisibility_failures"]
     if "--skip-lower" not in sys.argv:
         res["lowering"] = lower_70b_step()
+        # round 5: the multi-process host-offload variant (VERDICT r4
+        # next #7) — per-device peak without the compute-dead bf16 stack
+        res["lowering_offload"] = lower_70b_step(offload=True)
     print("SEVENTYB_READINESS " + json.dumps(res))
 
 
