@@ -70,6 +70,20 @@ def main():
     print(f"SOAK run2(resumed): steps={len(losses2)} last={losses2[-1]:.3f}")
     assert losses2, "resume produced no steps"
     assert losses2[-1] < losses[0]
+
+    # run 3: grad_sum saliency THROUGH THE SCAN WARM-UP (forced scan at
+    # 8 layers) -> conversion -> scan sparse phase, on the real chip —
+    # the exact path of the round-4 multi-host regression (VERDICT r4
+    # next #8 asks the soak to cover it).
+    out3 = os.path.join(work, "out_scan")
+    args3 = [a for a in args]
+    args3[args3.index(out)] = out3
+    history3 = ft_main(args3 + ["--scan_layers", "on",
+                                "--saliency_accumulation", "grad_sum"])
+    losses3 = history3["train_loss"]
+    print(f"SOAK run3(grad_sum scan warm-up): steps={len(losses3)} "
+          f"first={losses3[0]:.3f} last={losses3[-1]:.3f}")
+    assert losses3[-1] < losses3[0]
     print("SOAK OK:", work)
 
 
